@@ -1,0 +1,122 @@
+"""FSST-style string compression with sampled symbol-table construction.
+
+Design follows the FSST paper (Boncz, Neumann, Leis — "FSST: Fast Random
+Access String Compression", VLDB 2020) in its core moves:
+
+- a symbol table is *learned from a sample* of the data (≤64 KiB) by
+  iteratively merging the most frequent adjacent symbol pairs — exactly the
+  paper's bottom-up construction where frequent pairs of current symbols
+  become longer symbols across iterations;
+- codes are single bytes, so decode is a trivial table expansion;
+- symbols grow multiplicatively per iteration (up to 2^rounds bytes).
+
+Deviations from canonical FSST (documented deliberately — this is a
+from-scratch Python-vectorized design, not a port):
+
+- codes are drawn from byte values *provably absent* in the full input
+  buffer (exact np.bincount pass) instead of a dedicated escape byte, so
+  no escaping is ever needed and encode/decode are pure C-speed
+  ``bytes.replace`` passes — the fastest primitive available to Python
+  without native code;
+- encode applies the merges in learned order (multi-pass) rather than a
+  single-pass longest-match; the output is typically slightly larger than
+  canonical FSST but decode remains exact and single-pass-per-symbol.
+
+The whole column chunk's concatenated data buffer is compressed as one
+stream; original string offsets are stored delta+bitpacked, so decode
+reconstructs the exact original Arrow buffers (bit-identical round-trip,
+the north-rule invariant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from skar_spark.codecs import primitives as P
+
+
+def build_symbol_table(sample: bytes, free_codes: list[int],
+                       min_count: int) -> list[tuple[int, bytes]]:
+    """Learn merge table [(code, pair_bytes)] from a sample buffer.
+
+    pair_bytes at round i may contain codes assigned in rounds < i, which
+    is how symbols grow beyond 2 bytes (the FSST iteration).
+    """
+    table: list[tuple[int, bytes]] = []
+    if len(sample) < 4:
+        return table
+    buf = sample
+    for code in free_codes:
+        a = np.frombuffer(buf, np.uint8)
+        if len(a) < 2:
+            break
+        pairs = (a[:-1].astype(np.uint16) << np.uint16(8)) | a[1:]
+        counts = np.bincount(pairs, minlength=65536)
+        best = int(counts.argmax())
+        if counts[best] < min_count:
+            break
+        pair = bytes([best >> 8, best & 0xFF])
+        buf = buf.replace(pair, bytes([code]))
+        table.append((code, pair))
+    return table
+
+
+def fsst_compress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
+    for code, pair in table:
+        data = data.replace(pair, bytes([code]))
+    return data
+
+
+def fsst_decompress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
+    for code, pair in reversed(table):
+        data = data.replace(bytes([code]), pair)
+    return data
+
+
+def serialize_table(table: list[tuple[int, bytes]]) -> bytes:
+    out = bytearray([len(table)])
+    for code, pair in table:
+        out += bytes([code])
+        out += pair
+    return bytes(out)
+
+
+def deserialize_table(buf: bytes) -> list[tuple[int, bytes]]:
+    n = buf[0]
+    table = []
+    pos = 1
+    for _ in range(n):
+        code = buf[pos]
+        pair = bytes(buf[pos + 1:pos + 3])
+        table.append((code, pair))
+        pos += 3
+    return table
+
+
+def free_byte_values(data: bytes, max_codes: int) -> list[int]:
+    """Byte values absent from `data` (exact), usable as symbol codes."""
+    if not data:
+        return []
+    counts = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+    return [int(v) for v in np.flatnonzero(counts == 0)][:max_codes]
+
+
+# --- codec interface (meta, sections) ---------------------------------------
+
+def encode(offs_i64: np.ndarray, data: bytes, cfg) -> tuple[dict, list[bytes]]:
+    free = free_byte_values(data, cfg.fsst_max_symbols)
+    sample = data[:cfg.fsst_sample_bytes]
+    min_count = max(4, int(len(sample) * cfg.fsst_min_pair_count_frac))
+    table = build_symbol_table(sample, free, min_count)
+    comp = fsst_compress(data, table)
+    f, r, w, obuf = P.delta_encode(offs_i64)
+    meta = {"o": [int(f), int(r), int(w)], "raw": len(data)}
+    return meta, [serialize_table(table), comp, obuf]
+
+
+def decode(meta: dict, sections: list[bytes], n: int) -> tuple[np.ndarray, bytes]:
+    table = deserialize_table(sections[0]) if sections[0] else []
+    data = fsst_decompress(sections[1], table)
+    f, r, w = meta["o"]
+    offs = P.delta_decode(f, r, w, sections[2], n + 1)
+    return offs, data

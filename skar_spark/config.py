@@ -1,0 +1,55 @@
+"""Engine configuration.
+
+Mirror of the reference's TOML config surface (reference:
+skar/src/config.rs:6-87 — compression codec, max_row_group_size,
+max_file_size, rollback depth). Here it is a plain dataclass passed to the
+Spark jobs; every knob that shaped skar's write path has an analog.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- layout (mirror of parquet.*.max_row_group_size / max_file_size,
+    #     reference skar/src/config.rs:62-74, README.md:185-199) ---
+    max_row_group_size: int = 10_000          # rows per encoded chunk
+    target_partition_rows: int = 200_000      # rows per output partition file
+
+    # --- compression (mirror of skar's Lz4Raw / Zstd(9) writer options,
+    #     reference skar/src/write_parquet.rs:232-244) ---
+    zstd_level: int = 9
+
+    # --- codec auto-selection (no analog in the reference: skar always
+    #     writes Encoding::Plain — write_parquet.rs:49-53; the selector is
+    #     this engine's north-star feature) ---
+    selector_sample_rows: int = 4_096
+    selector_margin: float = 0.98             # winner must beat plain by 2%
+
+    # --- FSST-style string codec ---
+    fsst_max_symbols: int = 192               # codes drawn from unused byte values
+    fsst_sample_bytes: int = 1 << 16          # symbol table built on ≤64 KiB sample
+    fsst_min_pair_count_frac: float = 1 / 2048.0
+
+    # --- partitioning & skew (mirror of block-range folders + the
+    #     address/topic0 skew noted in SURVEY §1.3) ---
+    salt_threshold_rows: int = 100_000        # hosts above this get salted
+    shuffle_partitions: int = 32
+
+    # --- resume / lineage (mirror of db.next_block_num resume,
+    #     reference skar/src/db/mod.rs:68-86) ---
+    batch_partitions: int = 64                # partitions committed per job batch
+
+    # --- bloom (mirror of sbbf 8 bits/key,
+    #     reference skar/src/build_parquet_idx.rs:96-115,181-189) ---
+    bloom_bits_per_key: int = 8
+
+    # columns to encode (fixed input schema per BASELINE.json input_hint)
+    sort_keys: tuple[str, ...] = ("host", "warc_ts", "url")
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+
+DEFAULT = EngineConfig()

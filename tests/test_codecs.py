@@ -1,0 +1,105 @@
+"""Codec kernel unit tests — FIXTURES.md §3 vectors.
+
+Mirrors the reference's kernel-level unit-test strategy (exact expected
+outputs on crafted arrays, skar/src/query/execution/mod.rs:404-504):
+every codec must round-trip bit-identical on EVERY vector, not just the
+ones it wins.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from skar_spark.codecs import codecs_for, decode_array, encode_array
+from skar_spark.codecs.framing import typecode
+from skar_spark.codecs import primitives as P
+from tests.util import assert_arrays_equal
+
+rng = np.random.default_rng(42)
+
+
+def _vectors():
+    return {
+        "const_int": pa.array(np.full(10_000, 42, np.int64)),
+        "sorted_ts": pa.array(
+            (np.arange(10_000) * 1_000_000 + 1_700_000_000_000_000).astype(np.int64),
+            pa.timestamp("us")),
+        "sorted_ts_tz": pa.array(
+            np.arange(1000, dtype=np.int64), pa.timestamp("us", tz="UTC")),
+        "small_range_int": pa.array(rng.integers(1000, 1128, 10_000).astype(np.int64)),
+        "extreme_int": pa.array(np.array(
+            [-(2**63), 2**63 - 1, 0, -1, 1] * 100, np.int64)),
+        "zipf_lang": pa.array(
+            [["en", "de", "fr", "ja", "zh"][min(i % 23, 4)] for i in range(20_000)]),
+        "prose_text": pa.array(
+            [("the quick brown fox jumps over the lazy dog %d " % (i % 7)) * 10
+             for i in range(2_000)]),
+        "random_bytes": pa.array([rng.bytes(100) for _ in range(500)], pa.binary()),
+        "empty": pa.array([], pa.string()),
+        "empty_int": pa.array([], pa.int64()),
+        "all_null": pa.array([None] * 100, pa.string()),
+        "all_null_int": pa.array([None] * 100, pa.int64()),
+        "single_row": pa.array([3.14], pa.float64()),
+        "null_sprinkle": pa.array(
+            [None if i % 10 == 0 else f"doc {i} body text" for i in range(3_000)]),
+        "unicode_mix": pa.array(
+            ["héllo 🌍 日本語テキスト" * 3, "", None, "ascii only", "🎉" * 50,
+             "à́ combining"] * 300),
+        "bool_nulls": pa.array([None if i % 7 == 0 else i % 3 == 0
+                                for i in range(1_000)]),
+        "floats": pa.array(np.where(rng.random(2_000) < 0.3, 1.5, rng.random(2_000))),
+        "float_nan": pa.array([float("nan"), 1.0, None, float("inf"), -0.0]),
+        "i32": pa.array(rng.integers(0, 1000, 1_000).astype(np.int32)),
+        "i8": pa.array(rng.integers(-128, 128, 500).astype(np.int8)),
+        "date": pa.array(rng.integers(0, 20_000, 500).astype(np.int32), pa.date32()),
+        "large_str": pa.array(["x" * i for i in range(100)], pa.large_string()),
+        "large_bin": pa.array([b"y" * (i % 37) for i in range(200)], pa.large_binary()),
+        "embedded_zero_bytes": pa.array([b"\x00\x01\x02" * i for i in range(50)],
+                                        pa.binary()),
+        "all_256_bytes": pa.array([bytes(range(256)) for _ in range(20)], pa.binary()),
+    }
+
+
+@pytest.mark.parametrize("name", list(_vectors().keys()))
+def test_roundtrip_all_codecs(name):
+    arr = _vectors()[name]
+    for codec in codecs_for(typecode(arr.type)):
+        blob = encode_array(arr, codec)
+        out = decode_array(blob)
+        assert_arrays_equal(out, arr, (name, codec))
+
+
+def test_chunked_input_roundtrip():
+    ca = pa.chunked_array([pa.array(["a", "bb", None]), pa.array(["ccc", ""])])
+    blob = encode_array(ca, "plain")
+    assert decode_array(blob).to_pylist() == ["a", "bb", None, "ccc", ""]
+
+
+def test_sliced_input_roundtrip():
+    base = pa.array([f"row-{i}" for i in range(1000)])
+    sl = base.slice(100, 321)
+    blob = encode_array(sl, "fsst")
+    assert decode_array(blob).to_pylist() == sl.to_pylist()
+
+
+def test_bitpack_primitives_exact():
+    vals = rng.integers(0, 2**40, 10_000).astype(np.uint64)
+    for width in (40, 41, 64):
+        buf = P.pack_bits(vals, width)
+        assert len(buf) == (len(vals) * width + 7) // 8
+        out = P.unpack_bits(buf, len(vals), width)
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_for_delta_wraparound_safe():
+    vals = np.array([-(2**63), 2**63 - 1, -5, 7, 0], np.int64)
+    f, r, w, buf = P.delta_encode(vals)
+    out = P.delta_decode(f, r, w, buf, len(vals))
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_rle_split_exact():
+    vals = np.array([5, 5, 5, 2, 2, 9], np.int64)
+    rv, rl = P.rle_split(vals)
+    np.testing.assert_array_equal(rv, [5, 2, 9])
+    np.testing.assert_array_equal(rl, [3, 2, 1])
