@@ -19,12 +19,21 @@ from skar_spark.codecs.framing import typecode
 from skar_spark.config import DEFAULT, EngineConfig
 
 
-def sample_chunk(arr: pa.Array, rows: int) -> pa.Array:
-    """Head/middle/tail contiguous slices (keeps runs representative)."""
+def sample_chunk(arr: pa.Array, rows: int, byte_cap: int = 1 << 20) -> pa.Array:
+    """Head/middle/tail contiguous slices (keeps runs representative).
+
+    Row count is additionally capped so the sampled bytes stay under
+    `byte_cap` — wide string/binary columns would otherwise make the
+    trial encodes cost as much as the real encode.
+    """
     n = len(arr)
+    total_bytes = sum(b.size for b in arr.buffers() if b is not None)
+    if total_bytes > byte_cap:
+        avg = max(1, total_bytes // max(n, 1))
+        rows = max(64, min(rows, byte_cap // avg))
     if n <= rows:
         return arr
-    k = rows // 3
+    k = max(1, rows // 3)
     mid = (n - k) // 2
     return pa.concat_arrays([
         arr.slice(0, k), arr.slice(mid, k), arr.slice(n - k, k)])
@@ -36,7 +45,8 @@ def choose_codec(arr: pa.Array, cfg: EngineConfig = DEFAULT) -> str:
     cands = codecs_for(typecode(arr.type))
     if len(arr) == 0:
         return cands[0]
-    sample = canonicalize(sample_chunk(arr, cfg.selector_sample_rows))
+    sample = canonicalize(sample_chunk(arr, cfg.selector_sample_rows,
+                                       cfg.selector_sample_bytes))
     sizes = {c: len(encode_array(sample, c, cfg)) for c in cands}
     plain = sizes["plain"]
     best = min(sizes, key=sizes.get)  # type: ignore[arg-type]

@@ -29,9 +29,12 @@ class EngineConfig:
     selector_margin: float = 0.98             # winner must beat plain by 2%
 
     # --- FSST-style string codec ---
-    fsst_max_symbols: int = 192               # codes drawn from unused byte values
+    # 32 symbols is the measured speed/size sweet spot: ~20% smaller than
+    # plain+zstd9 on prose at ~1/3 the encode cost of 96 symbols
+    fsst_max_symbols: int = 32                # codes drawn from unused byte values
     fsst_sample_bytes: int = 1 << 16          # symbol table built on ≤64 KiB sample
-    fsst_min_pair_count_frac: float = 1 / 2048.0
+    fsst_min_pair_count_frac: float = 1 / 400.0  # stop when round gain < 0.25%
+    selector_sample_bytes: int = 1 << 20      # byte cap on string trial samples
 
     # --- partitioning & skew (mirror of block-range folders + the
     #     address/topic0 skew noted in SURVEY §1.3) ---

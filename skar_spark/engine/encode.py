@@ -1,0 +1,205 @@
+"""The Spark encode job — the engine's write path.
+
+Pipeline (the Spark realization of the reference's ingest→encode→index
+path, SURVEY §3 entry point 2; reference pipeline at
+skar/src/skar_runner.rs:285-353 + write_parquet.rs + build_parquet_idx.rs):
+
+    documents df
+      → derive host (substring of url; the skew key — analog of skar's
+        address/topic0 skew, SURVEY §1.3)
+      → salt heavy hosts (count>threshold → split into ceil(n/threshold)
+        salts; broadcast the small heavy-host map)
+      → deterministic part_id = xxhash64(host, salt) mod P
+        (deterministic partition membership is what makes resume exact —
+        the analog of skar's block-range folder naming)
+      → groupBy(part_id).applyInArrow(kernel):  [one shuffle — the same
+        single clustering shuffle the golden sort needs]
+          lexsort (host, warc_ts, url)          [write_parquet.rs:131-153]
+          slice into row groups                 [write_parquet.rs:83-103]
+          auto-select codec per column chunk    [our north-star delta]
+          write part file, temp→atomic rename   [skar_runner.rs:296-321]
+          emit footer row (zone maps, bloom, checksum, codec choices)
+      → append footer rows to the lineage table [db/mod.rs:88-215 analog]
+
+Resume: completed part_ids from the lineage table are anti-joined away
+before the shuffle (mirror of db.next_block_num(), db/mod.rs:68-86).
+Scale notes: the only global state is the lineage table (tiny — one row
+per partition); everything else is per-partition. At 10^12 docs the same
+plan holds: the heavy-host count is a map-side-combined agg over a
+low-cardinality key, the salt map broadcast is KBs, and the single
+shuffle is on a uniform hashed key (salting bounds any partition's size).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine.partfile import (
+    partition_checksum,
+    partition_host_bloom,
+    write_part_file,
+)
+
+FOOTER_DDL = (
+    "partition_id int, attempt_id string, status string, row_count long, "
+    "codec_choices string, bytes_in long, bytes_out long, "
+    "min_warc_ts timestamp, max_warc_ts timestamp, n_hosts int, "
+    "n_row_groups int, host_bloom binary, text_checksum binary, file string"
+)
+
+HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
+
+
+def with_host(df: DataFrame) -> DataFrame:
+    """Derive the host column from url (JVM-side regexp, codegen'd)."""
+    return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
+
+
+def plan_partitions(df: DataFrame, num_parts: int,
+                    cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Attach deterministic `part_id` with heavy-host salting.
+
+    Two-phase: (1) exact host counts (map-side combinable agg; cheap —
+    hosts are low-cardinality vs rows), keep only hosts above the salt
+    threshold; (2) broadcast-join that small map and compute
+    salt = xxhash64(url) mod n_salts for heavy hosts, 0 otherwise.
+    """
+    df = with_host(df)
+    heavy = (df.groupBy("host").count()
+             .filter(F.col("count") > cfg.salt_threshold_rows)
+             .select("host",
+                     F.ceil(F.col("count") / cfg.salt_threshold_rows)
+                     .cast("int").alias("n_salts")))
+    df = df.join(F.broadcast(heavy), "host", "left")
+    df = df.withColumn(
+        "salt",
+        F.when(F.col("n_salts").isNotNull(),
+               F.pmod(F.xxhash64("url"), F.col("n_salts")))
+        .otherwise(F.lit(0)).cast("int")).drop("n_salts")
+    return df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
+
+
+def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
+    """Returns the applyInArrow kernel: one group (= one part_id) in,
+    one footer row out. All columnar — no per-row Python."""
+
+    def kernel(table: pa.Table) -> pa.Table:
+        part_id = table["part_id"][0].as_py()
+        data_cols = [c for c in table.column_names
+                     if c not in ("part_id", "salt", "host")]
+        # lexsort by (host, warc_ts, url): keep host as _host for zone maps
+        t = table.rename_columns(
+            [("_host" if c == "host" else c) for c in table.column_names])
+        t = t.sort_by([("_host", "ascending"), ("warc_ts", "ascending"),
+                       ("url", "ascending")])
+        body = t.select(data_cols + ["_host"])
+
+        path = os.path.join(out_dir, "parts", f"part-{part_id:06d}.skar")
+        stats = write_part_file(path, body, cfg)
+
+        ts = t["warc_ts"].combine_chunks()
+        hosts = t["_host"].combine_chunks()
+        n_hosts = len(pc.unique(hosts))
+        footer = pa.table({
+            "partition_id": pa.array([part_id], pa.int32()),
+            "attempt_id": pa.array([attempt], pa.string()),
+            "status": pa.array(["committed"], pa.string()),
+            "row_count": pa.array([t.num_rows], pa.int64()),
+            "codec_choices": pa.array([stats["codec_choices"]], pa.string()),
+            "bytes_in": pa.array([stats["bytes_in"]], pa.int64()),
+            "bytes_out": pa.array([stats["bytes_out"]], pa.int64()),
+            "min_warc_ts": pa.array(
+                [pc.min(ts).as_py() if t.num_rows else None], ts.type),
+            "max_warc_ts": pa.array(
+                [pc.max(ts).as_py() if t.num_rows else None], ts.type),
+            "n_hosts": pa.array([n_hosts], pa.int32()),
+            "n_row_groups": pa.array([stats["n_row_groups"]], pa.int32()),
+            "host_bloom": pa.array(
+                [partition_host_bloom(hosts, cfg.bloom_bits_per_key)],
+                pa.binary()),
+            "text_checksum": pa.array([partition_checksum(t)], pa.binary()),
+            "file": pa.array([path], pa.string()),
+        })
+        return footer
+
+    return kernel
+
+
+def lineage_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "lineage")
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = lineage_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def completed_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
+    lin = read_lineage(spark, out_dir)
+    if lin is None:
+        return set()
+    return {r.partition_id for r in
+            lin.filter(F.col("status") == "committed")
+               .select("partition_id").distinct().collect()}
+
+
+def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
+                     cfg: EngineConfig = DEFAULT,
+                     num_parts: int | None = None,
+                     n_rows: int | None = None,
+                     resume: bool = False,
+                     max_batches: int | None = None) -> DataFrame:
+    """Run the encode job; returns the lineage DataFrame.
+
+    The driver loops over part-id batches of `cfg.batch_partitions`,
+    committing the lineage append per batch — the checkpoint granularity
+    (mirror of the reference's per-folder flush+index commit,
+    skar_runner.rs:285-353). `max_batches` lets tests kill the job
+    mid-way to exercise resume.
+    """
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    if num_parts is None:
+        if n_rows is None:
+            n_rows = df.count()
+        num_parts = max(1, -(-n_rows // cfg.target_partition_rows))
+
+    planned = plan_partitions(df, num_parts, cfg)
+    done = completed_part_ids(spark, out_dir) if resume else set()
+    attempt = uuid.uuid4().hex[:12]
+
+    n_batches = max(1, -(-num_parts // cfg.batch_partitions))
+    ran = 0
+    for b in range(n_batches):
+        lo, hi = b * cfg.batch_partitions, (b + 1) * cfg.batch_partitions
+        batch_ids = [p for p in range(lo, min(hi, num_parts))
+                     if p not in done]
+        if not batch_ids:
+            continue
+        if max_batches is not None and ran >= max_batches:
+            break
+        sub = planned.filter(
+            (F.col("part_id") >= lo) & (F.col("part_id") < hi))
+        if done:
+            sub = sub.filter(~F.col("part_id").isin(
+                [p for p in range(lo, min(hi, num_parts)) if p in done]))
+        footers = sub.groupBy("part_id").applyInArrow(
+            _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+        footers.write.mode("append").parquet(lineage_dir(out_dir))
+        ran += 1
+
+    lin = read_lineage(spark, out_dir)
+    assert lin is not None, "encode produced no lineage"
+    return lin

@@ -1,0 +1,174 @@
+"""Encoded partition file format (the engine's storage unit).
+
+One file per logical partition — the analog of the reference's
+`{from_block}-{to_block}/` parquet folder (skar/src/skar_runner.rs:298-321).
+Layout:
+
+    MAGIC(8) | chunk blobs ... | footer JSON | u32 footer_len | MAGIC(8)
+
+The footer carries, per row group: row count, per-column {offset, length,
+codec}, and zone maps (min/max warc_ts, first/last host — valid because
+rows are lexsorted by (host, warc_ts, url) before slicing, the mirror of
+skar's sort-then-slice write path, write_parquet.rs:83-153). Partition-
+level: host split-block bloom + content checksum (mirror of the folder
+index + validation, build_parquet_idx.rs:19-199, validate_parquet.rs).
+
+Readers seek the footer, prune row groups against zone maps / bloom
+*before* any I/O on chunk data — the mirror of the reference's row-group
+selection (skar/src/query/data_provider.rs:185-333).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+
+from skar_spark.codecs import decode_array, encode_auto
+from skar_spark.codecs.framing import typecode, type_from_code
+from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine.bloom import SplitBlockBloom, bloom_from_keys, xxh64
+
+MAGIC = b"SKARSP01"
+
+
+def write_part_file(path: str, table: pa.Table,
+                    cfg: EngineConfig = DEFAULT,
+                    zone_col: str = "warc_ts",
+                    host_col: str = "host") -> dict:
+    """Encode a (pre-sorted) table into a part file; atomic via temp+rename
+    (mirror of the temp-dir + rename publish, skar_runner.rs:296-321).
+
+    Returns summary stats for the lineage footer row.
+    """
+    tmp = path + ".tmp"
+    n = table.num_rows
+    cols = [c for c in table.column_names if not c.startswith("_")]
+    rowgroups = []
+    codec_counts: dict[str, dict[str, int]] = {c: {} for c in cols}
+    bytes_in = 0
+
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        pos = len(MAGIC)
+        for start in range(0, max(n, 1), cfg.max_row_group_size):
+            if n == 0 and start > 0:
+                break
+            sl = table.slice(start, cfg.max_row_group_size)
+            if sl.num_rows == 0 and n > 0:
+                break
+            rg: dict = {"rows": sl.num_rows, "chunks": {}}
+            for c in cols:
+                arr = sl[c]
+                bytes_in += sum(
+                    buf.size for chunk in arr.chunks
+                    for buf in chunk.buffers() if buf is not None)
+                codec, blob = encode_auto(arr, cfg)
+                f.write(blob)
+                rg["chunks"][c] = [pos, len(blob), codec]
+                pos += len(blob)
+                codec_counts[c][codec] = codec_counts[c].get(codec, 0) + 1
+            if zone_col in cols and sl.num_rows:
+                zc = sl[zone_col]
+                import pyarrow.compute as pc
+                rg["zmin"] = pc.min(zc).cast(pa.int64()).as_py()
+                rg["zmax"] = pc.max(zc).cast(pa.int64()).as_py()
+            hname = "_host" if "_host" in sl.column_names else (
+                host_col if host_col in sl.column_names else None)
+            if hname and sl.num_rows:
+                # sorted by host → first/last are the row-group's host range
+                hsl = sl[hname]
+                rg["hmin"] = hsl[0].as_py()
+                rg["hmax"] = hsl[-1].as_py()
+            rowgroups.append(rg)
+            if n == 0:
+                break
+
+        footer = {
+            "rows": n,
+            "columns": cols,
+            "schema": {c: typecode(table[c].type) for c in cols},
+            "sort_keys": list(cfg.sort_keys),
+            "rowgroups": rowgroups,
+        }
+        fj = json.dumps(footer, separators=(",", ":")).encode()
+        f.write(fj)
+        f.write(len(fj).to_bytes(4, "little"))
+        f.write(MAGIC)
+    os.replace(tmp, path)  # atomic publish
+
+    return {
+        "bytes_in": bytes_in,
+        "bytes_out": os.path.getsize(path),
+        "n_row_groups": len(rowgroups),
+        "codec_choices": json.dumps(
+            {c: max(v, key=v.get) for c, v in codec_counts.items() if v},
+            separators=(",", ":")),
+    }
+
+
+def read_footer(path: str) -> dict:
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(size - 12)
+        tail = f.read(12)
+        assert tail[4:] == MAGIC, f"bad trailing magic in {path}"
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(size - 12 - flen)
+        return json.loads(f.read(flen))
+
+
+def read_part_file(path: str, columns: list[str] | None = None,
+                   host_eq: str | None = None,
+                   ts_range: tuple[int, int] | None = None) -> pa.Table:
+    """Decode a part file with projection + zone-map row-group pruning.
+
+    ts_range is [lo, hi) in epoch microseconds against the zone column.
+    Mirror of the reference's projected, row-group-selective parquet scan
+    (data_provider.rs:121-183, skip logic :250-333).
+    """
+    footer = read_footer(path)
+    cols = columns or footer["columns"]
+    tables = []
+    with open(path, "rb") as f:
+        for rg in footer["rowgroups"]:
+            if ts_range is not None and "zmin" in rg:
+                if rg["zmin"] >= ts_range[1] or rg["zmax"] < ts_range[0]:
+                    continue
+            if host_eq is not None and "hmin" in rg:
+                if not (rg["hmin"] <= host_eq <= rg["hmax"]):
+                    continue
+            arrays, names = [], []
+            for c in cols:
+                off, ln, _codec = rg["chunks"][c]
+                f.seek(off)
+                arrays.append(decode_array(f.read(ln)))
+                names.append(c)
+            tables.append(pa.table(dict(zip(names, arrays))))
+    if not tables:
+        schema = pa.schema([(c, type_from_code(footer["schema"][c]))
+                            for c in cols])
+        return pa.table({c: pa.array([], schema.field(c).type) for c in cols})
+    return pa.concat_tables(tables)
+
+
+def partition_checksum(table: pa.Table) -> bytes:
+    """sha256 over the (url, text) content of a sorted partition — the
+    self-validation analog of the logs_bloom reconstruction check
+    (reference: ingest/src/validate.rs:15-43)."""
+    from skar_spark.engine.golden import column_checksum
+    h = hashlib.sha256()
+    for c in ("url", "text"):
+        if c in table.column_names:
+            h.update(column_checksum(table[c]).encode())
+    return h.digest()
+
+
+def partition_host_bloom(hosts: pa.Array | pa.ChunkedArray,
+                         bits_per_key: int = 8) -> bytes:
+    import pyarrow.compute as pc
+    uniq = pc.unique(hosts if isinstance(hosts, pa.Array)
+                     else hosts.combine_chunks())
+    return bloom_from_keys([u.as_py().encode() for u in uniq], bits_per_key)
