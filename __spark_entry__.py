@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``skar_spark`` (see SURVEY.md §2 for the operator
+inventory mapping).
 """
 
 from __future__ import annotations
@@ -15,24 +17,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full north-rule engine pass on sf0.001 — encode the
+    webtext-shaped documents table with codec auto-selection, decode,
+    verify byte-identical text per url, return per-partition lineage."""
+    from skar_spark.ops.engine_queries import q_encode_roundtrip
+    return q_encode_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from skar_spark.ops import dedup, engine_queries, relational, textops
+    return {
+        # relational operator surface (SURVEY §2.2-2.6)
+        "range_filter": relational.q_range_filter,
+        "inset_disjunction": relational.q_inset_disjunction,
+        "semi_join": relational.q_semi_join,
+        "anti_join": relational.q_anti_join,
+        "inner_join": relational.q_inner_join,
+        "zone_minmax": relational.q_zone_minmax,
+        "distinct_sets": relational.q_distinct_sets,
+        "tpch_q1": relational.q_tpch_q1,
+        "lexsort_topn": relational.q_lexsort_topn,
+        "union_all": relational.q_union_all,
+        "hex_derive": relational.q_hex_derive,
+        "gap_detect": relational.q_gap_detect,
+        "window_topk": relational.q_window_topk,
+        "rollup_agg": relational.q_rollup,
+        # training-data text ops
+        "dedup_exact": textops.q_dedup_exact,
+        "token_count": textops.q_token_count,
+        "quality_score": textops.q_quality_score,
+        "lang_id": textops.q_lang_id,
+        "doc_fingerprint": textops.q_doc_fingerprint,
+        "multimodal_meta": textops.q_multimodal_meta,
+        # near-dup + similarity
+        "minhash": dedup.q_minhash,
+        "lsh_pairs": dedup.q_lsh_pairs,
+        "simhash": dedup.q_simhash,
+        "ngram_jaccard": dedup.q_ngram_jaccard,
+        "cosine_topk": dedup.q_cosine_topk,
+        # engine path (no SQL oracle — custom storage format)
+        "encode_roundtrip": engine_queries.q_encode_roundtrip,
+        "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from skar_spark.ops import dedup, relational, textops
+    return {
+        "range_filter": relational.SQL_RANGE_FILTER,
+        "inset_disjunction": relational.SQL_INSET_DISJUNCTION,
+        "semi_join": relational.SQL_SEMI_JOIN,
+        "anti_join": relational.SQL_ANTI_JOIN,
+        "inner_join": relational.SQL_INNER_JOIN,
+        "zone_minmax": relational.SQL_ZONE_MINMAX,
+        "distinct_sets": relational.SQL_DISTINCT_SETS,
+        "tpch_q1": relational.SQL_TPCH_Q1,
+        "lexsort_topn": relational.SQL_LEXSORT_TOPN,
+        "union_all": relational.SQL_UNION_ALL,
+        "hex_derive": relational.SQL_HEX_DERIVE,
+        "gap_detect": relational.SQL_GAP_DETECT,
+        "window_topk": relational.SQL_WINDOW_TOPK,
+        "rollup_agg": relational.SQL_ROLLUP,
+        "dedup_exact": textops.SQL_DEDUP_EXACT,
+        "token_count": textops.SQL_TOKEN_COUNT,
+        "quality_score": textops.SQL_QUALITY_SCORE,
+        "lang_id": textops.SQL_LANG_ID,
+        "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
+        "multimodal_meta": textops.SQL_MULTIMODAL_META,
+        "minhash": dedup.SQL_MINHASH,
+        "lsh_pairs": dedup.SQL_LSH_PAIRS,
+        "simhash": dedup.SQL_SIMHASH,
+        "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
+        "cosine_topk": dedup.SQL_COSINE_TOPK,
+        # encode_roundtrip / engine_scan_pruned: custom storage format,
+        # intentionally no SQL oracle (driver rows-only check)
+    }
+
+
+if __name__ == "__main__":
+    from skar_spark.session import get_spark
+    s = get_spark(cpus=8)
+    df = entry(s)
+    df.show(truncate=False)
+    s.stop()

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness — one JSON line to stdout.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] cores (default 32)
+  SKAR_BENCH_DOCS     synthetic docs for the encode benchmark (default 40000)
+
+Output: {"metric": "e2e_sec", "value": N, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": ...,
+         "encode": {...GB/s + size vs golden...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SKAR_BENCH_DOCS", "40000"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from skar_spark.session import get_spark
+    spark = get_spark(cpus=cpus, app="skar_bench")
+
+    import __spark_entry__ as entrymod
+    qs = entrymod.queries()
+
+    bench_queries = [
+        "tpch_q1", "range_filter", "semi_join", "inner_join", "zone_minmax",
+        "distinct_sets", "window_topk", "gap_detect", "lexsort_topn",
+        "dedup_exact", "token_count", "quality_score", "doc_fingerprint",
+        "minhash", "simhash", "lsh_pairs", "cosine_topk",
+    ]
+    timings: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()   # count() = full execution
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # --- encode benchmark: the north-rule hot path -------------------------
+    from skar_spark.config import EngineConfig
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.synth import synth_documents
+
+    cfg = EngineConfig(target_partition_rows=max(2000, n_docs // (2 * cpus)),
+                       salt_threshold_rows=max(2000, n_docs // (2 * cpus)))
+    out = "/tmp/skar_bench_encode"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = synth_documents(spark, n_docs, partitions=cpus * 2)
+    docs.cache().count()          # materialize: time encode, not generation
+    t0 = time.time()
+    lin = encode_documents(spark, docs, out, cfg, n_rows=n_docs)
+    agg = lin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
+    enc_sec = time.time() - t0
+    bytes_in, bytes_out = int(agg[0]), int(agg[1])
+    timings["encode_job"] = round(enc_sec, 3)
+
+    # decode-verify timing
+    from skar_spark.engine.decode import scan
+    t0 = time.time()
+    n_back = scan(spark, out).count()
+    timings["decode_job"] = round(time.time() - t0, 3)
+    assert n_back == n_docs, (n_back, n_docs)
+    docs.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "encode": {
+            "n_docs": n_docs,
+            "bytes_in": bytes_in,
+            "bytes_out": bytes_out,
+            "ratio": round(bytes_in / max(bytes_out, 1), 3),
+            "gb_per_sec": round(bytes_in / enc_sec / 1e9, 4),
+            "cpus": cpus,
+        },
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Standalone encode job — the spark-submit entry point.
+
+Cluster launch (the north-rule deployment shape):
+    zip -r skar_spark.zip skar_spark
+    spark-submit --py-files skar_spark.zip jobs/encode_job.py \
+        --input <parquet dir or 'synth:N'> --out <dir> [--resume]
+
+Local sandbox launch (same code path, local[] master picked up from
+--cpus): python jobs/encode_job.py --input synth:100000 --out /tmp/enc
+
+Prints one JSON line with throughput + size stats.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# allow `python jobs/encode_job.py` without PYTHONPATH (spark-submit ships
+# the package via --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet dir with (url,warc_ts,html,text,lang) "
+                         "or synth:N for the deterministic generator")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=None,
+                    help="number of output partitions (default: rows/target)")
+    ap.add_argument("--target-partition-rows", type=int, default=20_000)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--zstd-level", type=int, default=9)
+    ap.add_argument("--fsst-symbols", type=int, default=32)
+    args = ap.parse_args()
+
+    from skar_spark.config import EngineConfig
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.session import get_spark
+    from skar_spark.synth import synth_documents
+
+    spark = get_spark(cpus=args.cpus, app="skar_encode_job")
+    cfg = EngineConfig(
+        target_partition_rows=args.target_partition_rows,
+        salt_threshold_rows=args.target_partition_rows,
+        zstd_level=args.zstd_level,
+        fsst_max_symbols=args.fsst_symbols,
+    )
+
+    if args.input.startswith("synth:"):
+        n_rows = int(args.input.split(":", 1)[1])
+        docs = synth_documents(spark, n_rows, partitions=args.cpus * 2)
+        docs.cache().count()  # exclude generation from the timed encode
+    else:
+        docs = spark.read.parquet(args.input)
+        n_rows = docs.count()
+
+    t0 = time.time()
+    lin = encode_documents(spark, docs, args.out, cfg,
+                           num_parts=args.partitions, n_rows=n_rows,
+                           resume=args.resume)
+    agg = lin.groupBy().sum("bytes_in", "bytes_out", "row_count").collect()[0]
+    sec = time.time() - t0
+    out = {
+        "rows": int(agg[2]), "bytes_in": int(agg[0]), "bytes_out": int(agg[1]),
+        "sec": round(sec, 3),
+        "gb_per_sec": round(int(agg[0]) / sec / 1e9, 4),
+        "ratio": round(int(agg[0]) / max(int(agg[1]), 1), 3),
+        "cpus": args.cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,240 @@
+"""Near-duplicate detection + similarity search (training-data pipeline ops).
+
+All hashing uses the portable md5-60bit scheme (see textops.h60) so every
+stage is reproducible in the DuckDB oracle. Spark side is built-in
+higher-order functions (transform/aggregate/zip_with) — JVM-side, no
+Python in the hot path.
+
+Scale notes (10^12-doc story): minhash/simhash signatures are embarrassed
+parallel projections; the LSH candidate join is an equi-join on band keys
+(shuffle on band hash — bounded by band-bucket sizes, not O(n²));
+brute-force cosine is quadratic and exists as the correctness baseline
+for the LSH-bucketed variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from skar_spark.ops.relational import load
+from skar_spark.ops.textops import h60, sql_h60, _tokens
+
+# --- minhash signatures over 3-word shingles ---------------------------------
+
+_N_HASHES = 4
+
+
+def _shingles(tokens):
+    n = F.size(tokens)
+    return F.when(n >= 3, F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at(tokens, i),
+                              F.element_at(tokens, i + 1),
+                              F.element_at(tokens, i + 2)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_col(shingles, j: int):
+    return F.array_min(F.transform(
+        shingles, lambda s: h60(F.concat(s, F.lit(f"#{j}")))))
+
+
+def q_minhash(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    sh = _shingles(toks)
+    cols = [_minhash_col(sh, j).alias(f"mh{j}") for j in range(_N_HASHES)]
+    return d.select("doc_id", *cols)
+
+
+def _sql_shingles() -> str:
+    return (r"list_transform(range(1, greatest(array_length("
+            r"regexp_split_to_array(trim(text), '\s+')) - 1, 1)), "
+            r"i -> concat_ws(' ', "
+            r"regexp_split_to_array(trim(text), '\s+')[i], "
+            r"regexp_split_to_array(trim(text), '\s+')[i+1], "
+            r"regexp_split_to_array(trim(text), '\s+')[i+2]))")
+
+
+def _sql_minhash(j: int) -> str:
+    salted = "s || '#%d'" % j
+    return (f"list_min(list_transform({_sql_shingles()}, "
+            f"s -> {sql_h60(salted)}))")
+
+
+SQL_MINHASH = f"""
+SELECT doc_id,
+       {', '.join(f'{_sql_minhash(j)} AS mh{j}' for j in range(_N_HASHES))}
+FROM documents
+"""
+
+# --- LSH candidate pairs (banded minhash → equi-join on band key) -------------
+
+def q_lsh_pairs(spark, sf):
+    sig = q_minhash(spark, sf)
+    banded = sig.select(
+        "doc_id",
+        F.concat_ws(":", F.col("mh0").cast("string"),
+                    F.col("mh1").cast("string")).alias("band0"),
+        F.concat_ws(":", F.col("mh2").cast("string"),
+                    F.col("mh3").cast("string")).alias("band1"))
+    pairs = None
+    for b in ("band0", "band1"):
+        l = banded.select(F.col("doc_id").alias("a"), F.col(b).alias("k"))
+        r = banded.select(F.col("doc_id").alias("b_"), F.col(b).alias("k"))
+        p = (l.join(r, "k").filter(F.col("a") < F.col("b_"))
+             .select("a", F.col("b_").alias("b")))
+        pairs = p if pairs is None else pairs.unionAll(p)
+    return pairs.distinct()
+
+
+def _sql_band_cte() -> str:
+    mh = [f"{_sql_minhash(j)} AS mh{j}" for j in range(_N_HASHES)]
+    return f"""
+WITH sig AS (SELECT doc_id, {', '.join(mh)} FROM documents),
+banded AS (SELECT doc_id,
+                  concat(CAST(mh0 AS VARCHAR), ':', CAST(mh1 AS VARCHAR)) AS band0,
+                  concat(CAST(mh2 AS VARCHAR), ':', CAST(mh3 AS VARCHAR)) AS band1
+           FROM sig)
+"""
+
+
+SQL_LSH_PAIRS = _sql_band_cte() + """
+SELECT DISTINCT a, b FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r
+    ON l.band0 = r.band0 AND l.doc_id < r.doc_id
+  UNION ALL
+  SELECT l.doc_id AS a, r.doc_id AS b FROM banded l JOIN banded r
+    ON l.band1 = r.band1 AND l.doc_id < r.doc_id) t
+"""
+
+# --- simhash (64→16-bit projection of token hash signs) -----------------------
+
+_SIM_BITS = 16
+
+
+def q_simhash(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    th = F.transform(toks, lambda t: h60(t))
+
+    def bit_sum(b: int):
+        return F.aggregate(
+            th, F.lit(0),
+            lambda acc, h: acc + F.when(
+                h.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1))
+
+    sim = None
+    for b in range(_SIM_BITS):
+        term = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    empty = F.length(F.trim("text")) == 0
+    return d.select("doc_id",
+                    F.when(empty, F.lit(0)).otherwise(sim).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    th = (r"list_transform(list_distinct(regexp_split_to_array(trim(text), "
+          r"'\s+')), t -> " + sql_h60("t") + ")")
+    terms = []
+    for b in range(_SIM_BITS):
+        s = (f"CASE WHEN list_sum(list_transform({th}, "
+             f"h -> CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END)) > 0 "
+             f"THEN {1 << b} ELSE 0 END")
+        terms.append(s)
+    return " + ".join(terms)
+
+
+SQL_SIMHASH = f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE {_sql_simhash()} END AS simhash
+FROM documents
+"""
+
+# --- n-gram jaccard pairs (char 4-grams, same-lang candidates) ----------------
+
+def q_ngram_jaccard(spark, sf):
+    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    grams = F.array_distinct(F.when(
+        F.length("text") >= 4,
+        F.transform(F.sequence(F.lit(1), F.length("text") - 3),
+                    lambda i: F.col("text").substr(i, F.lit(4)))
+    ).otherwise(F.array().cast("array<string>")))
+    g = d.select("doc_id", "lang", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("a"), F.col("lang"),
+                 F.col("grams").alias("ga"))
+    b = g.select(F.col("doc_id").alias("b"), F.col("lang"),
+                 F.col("grams").alias("gb"))
+    pairs = (a.join(b, "lang").filter(F.col("a") < F.col("b"))
+             .filter(F.abs(F.size("ga") - F.size("gb")) <= 5))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = F.round(inter.cast("double") / union, 4)
+    return (pairs.select("a", "b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.35))
+
+
+_SQL_GRAMS = ("list_distinct(CASE WHEN length(text) >= 4 THEN "
+              "list_transform(range(1, length(text) - 2), "
+              "i -> substr(text, i, 4)) ELSE [] END)")
+
+SQL_NGRAM_JACCARD = f"""
+WITH g AS (SELECT doc_id, lang, {_SQL_GRAMS} AS grams FROM documents)
+SELECT a, b, jaccard FROM (
+  SELECT l.doc_id AS a, r.doc_id AS b,
+         round(CAST(array_length(list_intersect(l.grams, r.grams)) AS DOUBLE)
+               / array_length(list_distinct(list_concat(l.grams, r.grams))), 4)
+             AS jaccard
+  FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+  WHERE abs(array_length(l.grams) - array_length(r.grams)) <= 5) t
+WHERE jaccard >= 0.35
+"""
+
+# --- embedding cosine top-k (brute force baseline) -----------------------------
+
+_TOPK = 10
+_N_QUERIES = 8
+
+
+def q_cosine_topk(spark, sf):
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    q = (base.filter(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    joined = (q.crossJoin(base).filter(F.col("qid") != F.col("vec_id"))
+              .withColumn("cos", F.round(
+                  dot / (norm(F.col("qv")) * norm(F.col("v"))), 4)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("vec_id").asc())
+    return (joined.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOPK)
+            .select("qid", "rk", "vec_id", "cos"))
+
+
+SQL_COSINE_TOPK = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM base WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         round(
+           list_sum(list_transform(range(1, len(q.qv) + 1),
+                                   i -> q.qv[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 4) AS cos
+  FROM q CROSS JOIN base b WHERE q.qid != b.vec_id)
+SELECT qid, rk, vec_id, cos FROM (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) t
+WHERE rk <= {_TOPK}
+"""

@@ -1,0 +1,285 @@
+"""Relational operator surface — skar's query DSL re-expressed on Spark.
+
+Every operator family from SURVEY.md §2.2-2.6 gets a (DataFrame fn,
+oracle SQL) pair on the driver's TPC-H-ish tables. The Spark side is pure
+DataFrame API (Catalyst plans: pushdown, broadcast, codegen); the SQL side
+is ANSI DuckDB — the driver cross-checks them at sf0.01.
+
+Column aliases match exactly between both sides (the driver hashes values
+under sorted column names).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+import operator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- F1: range predicate (execution/mod.rs:341-353) -------------------------
+
+def q_range_filter(spark, sf):
+    li = load(spark, sf, "lineitem")
+    # no rounding: IEEE double products are bit-identical across engines,
+    # while round() half-way tie-breaking differs between Spark and DuckDB
+    return (li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 5000))
+            .select("l_orderkey", "l_partkey", "l_quantity",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("net_price")))
+
+
+SQL_RANGE_FILTER = """
+SELECT l_orderkey, l_partkey, l_quantity,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem WHERE l_orderkey >= 1000 AND l_orderkey < 5000
+"""
+
+# --- F2/F6/F8: OR-of-conjunctions of IN-sets (execution/mod.rs:120-261) ------
+
+_CUSTS = [1, 7, 13, 42, 100, 555]
+_PRIOS = ["1-URGENT", "2-HIGH"]
+
+
+def q_inset_disjunction(spark, sf):
+    o = load(spark, sf, "orders")
+    sel1 = F.col("o_custkey").isin(_CUSTS) & (F.col("o_orderstatus") == "O")
+    sel2 = F.col("o_orderpriority").isin(_PRIOS) & (F.col("o_totalprice") > 200000)
+    conds = reduce(operator.or_, [sel1, sel2])
+    return o.filter(conds).select("o_orderkey", "o_custkey", "o_orderstatus",
+                                  "o_orderpriority")
+
+
+SQL_INSET_DISJUNCTION = f"""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE (o_custkey IN ({','.join(map(str, _CUSTS))}) AND o_orderstatus = 'O')
+   OR (o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 200000)
+"""
+
+# --- J1/J2: semi-join (execution/mod.rs:86-95,176-194) -----------------------
+
+def q_semi_join(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_nationkey"))
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+"""
+
+# --- J4-style anti-join (validate_parquet.rs:31-63 membership checks) --------
+
+def q_anti_join(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+# --- J3: ingest-time inner join (schema.rs:183-244) --------------------------
+
+def q_inner_join(spark, sf):
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    return (o.join(c, o.o_custkey == c.c_custkey, "inner")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "inner")
+            .filter(F.col("o_totalprice") > 250000)
+            .select("o_orderkey", "c_name", "n_name",
+                    F.col("o_totalprice").alias("total")))
+
+
+SQL_INNER_JOIN = """
+SELECT o_orderkey, c_name, n_name, o_totalprice AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE o_totalprice > 250000
+"""
+
+# --- A1: zone-map min/max aggregation (build_parquet_idx.rs:50-83) -----------
+
+def q_zone_minmax(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.withColumn("bucket", (F.col("l_orderkey") / 1000).cast("long"))
+            .groupBy("bucket")
+            .agg(F.min("l_orderkey").alias("min_key"),
+                 F.max("l_orderkey").alias("max_key"),
+                 F.count("*").alias("n_rows")))
+
+
+SQL_ZONE_MINMAX = """
+SELECT CAST(l_orderkey // 1000 AS BIGINT) AS bucket,
+       min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1
+"""
+
+# --- A2: distinct-set build (build_parquet_idx.rs:89-171) --------------------
+
+def q_distinct_sets(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                 F.countDistinct("l_partkey").alias("n_part")))
+
+
+SQL_DISTINCT_SETS = """
+SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part
+FROM lineitem GROUP BY l_returnflag
+"""
+
+# --- flagship aggregate: TPC-H Q1 shape (hash agg — absent in reference,
+#     supplied natively by Spark; SURVEY §2.4) --------------------------------
+
+def q_tpch_q1(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count("*").alias("count_order")))
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- O1/O3: multi-key lexsort + limit (write_parquet.rs:131-153) -------------
+
+def q_lexsort_topn(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.orderBy(F.col("l_returnflag").asc(), F.col("l_shipdate").desc(),
+                       F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+            .select("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+            .limit(100))
+
+
+SQL_LEXSORT_TOPN = """
+SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber
+FROM lineitem
+ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 100
+"""
+
+# --- U1: UNION ALL (write_parquet.rs:105-129) --------------------------------
+
+def q_union_all(spark, sf):
+    o = load(spark, sf, "orders")
+    a = o.filter(F.col("o_totalprice") > 300000).select(
+        "o_orderkey", F.lit("high").alias("tier"))
+    b = o.filter(F.col("o_totalprice") < 50000).select(
+        "o_orderkey", F.lit("low").alias("tier"))
+    return a.unionAll(b)
+
+
+SQL_UNION_ALL = """
+SELECT o_orderkey, 'high' AS tier FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT o_orderkey, 'low' AS tier FROM orders WHERE o_totalprice < 50000
+"""
+
+# --- C1/C4: hex + prefix derivations (server.rs:444-497, schema.rs:224) ------
+
+def q_hex_derive(spark, sf):
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.lower(F.hex(F.col("o_orderpriority"))).alias("prio_hex"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_class"),
+        F.concat(F.lit("0x"), F.lower(F.hex(F.col("o_orderkey")))).alias("key_hex"),
+    ).filter(F.col("o_orderkey") < 2000)
+
+
+SQL_HEX_DERIVE = """
+SELECT o_orderkey, lower(hex(o_orderpriority)) AS prio_hex,
+       substr(o_orderpriority, 1, 1) AS prio_class,
+       concat('0x', lower(hex(o_orderkey))) AS key_hex
+FROM orders WHERE o_orderkey < 2000
+"""
+
+# --- A6: contiguity / gap detection (ingest/src/validate.rs:51-68) -----------
+
+def q_gap_detect(spark, sf):
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (ev.withColumn("prev_id", F.lag("event_id").over(w))
+            .filter(F.col("prev_id").isNotNull())
+            .withColumn("gap", F.col("event_id") - F.col("prev_id"))
+            .filter(F.col("gap") > 1000)
+            .select("user_id", "prev_id", "event_id", "gap"))
+
+
+SQL_GAP_DETECT = """
+SELECT user_id, prev_id, event_id, gap FROM (
+  SELECT user_id, event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+         event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+  FROM events) t
+WHERE prev_id IS NOT NULL AND gap > 1000
+"""
+
+# --- window top-k per group (SURVEY §2.5: absent in reference, Spark-native) --
+
+def q_window_topk(spark, sf):
+    o = load(spark, sf, "orders")
+    w = (Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(50)))
+         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
+    return (o.withColumn("grp", F.pmod(F.col("o_custkey"), F.lit(50)))
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("grp").orderBy(
+                    F.col("o_totalprice").desc(), F.col("o_orderkey").asc())))
+            .filter(F.col("rn") <= 3)
+            .select("grp", "rn", "o_orderkey",
+                    F.col("o_totalprice").alias("total")))
+
+
+SQL_WINDOW_TOPK = """
+SELECT grp, rn, o_orderkey, o_totalprice AS total FROM (
+  SELECT o_custkey % 50 AS grp, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey % 50
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+# --- rollup (SURVEY §2.4: absent in reference, Spark-native) ------------------
+
+def q_rollup(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty")))
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
