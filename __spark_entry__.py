@@ -25,11 +25,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from skar_spark.ops import dedup, engine_queries, relational, textops
+    from skar_spark.ops import (dedup, engine_queries, multimodal,
+                                relational, textops)
     return {
         # relational operator surface (SURVEY §2.2-2.6)
         "range_filter": relational.q_range_filter,
         "inset_disjunction": relational.q_inset_disjunction,
+        "pair_inset": relational.q_pair_inset,
         "semi_join": relational.q_semi_join,
         "anti_join": relational.q_anti_join,
         "inner_join": relational.q_inner_join,
@@ -55,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "cosine_topk": dedup.q_cosine_topk,
+        "multimodal_decode": multimodal.q_multimodal_decode,
         # engine path (no SQL oracle — custom storage format)
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
@@ -66,6 +69,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "range_filter": relational.SQL_RANGE_FILTER,
         "inset_disjunction": relational.SQL_INSET_DISJUNCTION,
+        "pair_inset": relational.SQL_PAIR_INSET,
         "semi_join": relational.SQL_SEMI_JOIN,
         "anti_join": relational.SQL_ANTI_JOIN,
         "inner_join": relational.SQL_INNER_JOIN,

@@ -36,6 +36,9 @@ def main() -> None:
                     help="number of output partitions (default: rows/target)")
     ap.add_argument("--target-partition-rows", type=int, default=20_000)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--batch-partitions", type=int, default=None,
+                    help="checkpoint granularity; default = all partitions "
+                         "in one batch (finest resume = smaller values)")
     ap.add_argument("--zstd-level", type=int, default=9)
     ap.add_argument("--fsst-symbols", type=int, default=32)
     args = ap.parse_args()
@@ -51,6 +54,7 @@ def main() -> None:
         salt_threshold_rows=args.target_partition_rows,
         zstd_level=args.zstd_level,
         fsst_max_symbols=args.fsst_symbols,
+        batch_partitions=args.batch_partitions or (args.partitions or 1 << 30),
     )
 
     if args.input.startswith("synth:"):

@@ -41,16 +41,28 @@ def sample_chunk(arr: pa.Array, rows: int, byte_cap: int = 1 << 20) -> pa.Array:
 
 def choose_codec(arr: pa.Array, cfg: EngineConfig = DEFAULT) -> str:
     """Pick the codec for one column chunk by trial-encoding a sample."""
+    import pyarrow.compute as pc
+
     arr = canonicalize(arr)
-    cands = codecs_for(typecode(arr.type))
+    cands = list(codecs_for(typecode(arr.type)))
     if len(arr) == 0:
         return cands[0]
     sample = canonicalize(sample_chunk(arr, cfg.selector_sample_rows,
                                        cfg.selector_sample_bytes))
+    if "dict" in cands and len(sample) > 32:
+        # dict trials re-encode the dictionary (≈ a second fsst pass);
+        # skip when the sample is mostly unique — dict can't win there
+        probe = sample.slice(0, min(len(sample), 1024))
+        distinct_ratio = pc.count_distinct(probe).as_py() / len(probe)
+        if distinct_ratio > 0.7:
+            cands.remove("dict")
     sizes = {c: len(encode_array(sample, c, cfg)) for c in cands}
     plain = sizes["plain"]
     best = min(sizes, key=sizes.get)  # type: ignore[arg-type]
-    if best != "plain" and sizes[best] > plain * cfg.selector_margin:
+    # structural codecs must beat plain by the margin; fsst needs a larger
+    # win because its encode cost is ~4× plain's (throughput-aware guard)
+    margin = cfg.selector_margin_fsst if best == "fsst" else cfg.selector_margin
+    if best != "plain" and sizes[best] > plain * margin:
         return "plain"
     return best
 

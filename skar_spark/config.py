@@ -27,6 +27,7 @@ class EngineConfig:
     #     this engine's north-star feature) ---
     selector_sample_rows: int = 4_096
     selector_margin: float = 0.98             # winner must beat plain by 2%
+    selector_margin_fsst: float = 0.95        # fsst must beat plain by 5%
 
     # --- FSST-style string codec ---
     # 32 symbols is the measured speed/size sweet spot: ~20% smaller than
@@ -34,7 +35,7 @@ class EngineConfig:
     fsst_max_symbols: int = 32                # codes drawn from unused byte values
     fsst_sample_bytes: int = 1 << 16          # symbol table built on ≤64 KiB sample
     fsst_min_pair_count_frac: float = 1 / 400.0  # stop when round gain < 0.25%
-    selector_sample_bytes: int = 1 << 20      # byte cap on string trial samples
+    selector_sample_bytes: int = 1 << 18      # byte cap on string trial samples
 
     # --- partitioning & skew (mirror of block-range folders + the
     #     address/topic0 skew noted in SURVEY §1.3) ---

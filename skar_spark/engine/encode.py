@@ -52,7 +52,8 @@ FOOTER_DDL = (
     "partition_id int, attempt_id string, status string, row_count long, "
     "codec_choices string, bytes_in long, bytes_out long, "
     "min_warc_ts timestamp, max_warc_ts timestamp, n_hosts int, "
-    "n_row_groups int, host_bloom binary, text_checksum binary, file string"
+    "n_row_groups int, host_bloom binary, text_checksum binary, "
+    "sort_sec double, encode_sec double, meta_sec double, file string"
 )
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
@@ -89,11 +90,46 @@ def plan_partitions(df: DataFrame, num_parts: int,
         F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
 
 
+def _encode_task(out_dir: str, cfg: EngineConfig, attempt: str):
+    """mapInArrow task kernel: a hash-partitioned stream of batches in
+    (possibly several part_ids per task), one footer row per part_id out.
+
+    Deliberately mapInArrow rather than groupBy().applyInArrow: the
+    grouped-map path sorts and materializes every group JVM-side, which
+    duplicates the lexsort the kernel performs anyway (measured ~25s of
+    non-scaling machinery on a 5 GB input at 32 cores).
+    """
+    kernel = _encode_kernel(out_dir, cfg, attempt)
+
+    def task(batches):
+        import pyarrow as _pa
+        batch_list = list(batches)
+        if not batch_list:
+            return
+        table = _pa.Table.from_batches(batch_list)
+        if table.num_rows == 0:
+            return
+        # split by part_id (cheap: indices only), then run the per-
+        # partition kernel on zero-copy takes
+        import numpy as _np
+        pids = table["part_id"].to_numpy(zero_copy_only=False)
+        for pid in _np.unique(pids):
+            sel = _np.flatnonzero(pids == pid)
+            sub = table.take(_pa.array(sel))
+            footer = kernel(sub)
+            for rb in footer.to_batches():
+                yield rb
+
+    return task
+
+
 def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
-    """Returns the applyInArrow kernel: one group (= one part_id) in,
-    one footer row out. All columnar — no per-row Python."""
+    """Per-partition kernel: one part_id's table in, one footer row out.
+    All columnar — no per-row Python."""
 
     def kernel(table: pa.Table) -> pa.Table:
+        import time as _time
+        t0 = _time.time()
         part_id = table["part_id"][0].as_py()
         data_cols = [c for c in table.column_names
                      if c not in ("part_id", "salt", "host")]
@@ -104,8 +140,10 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
                        ("url", "ascending")])
         body = t.select(data_cols + ["_host"])
 
+        t_sorted = _time.time()
         path = os.path.join(out_dir, "parts", f"part-{part_id:06d}.skar")
         stats = write_part_file(path, body, cfg)
+        t_written = _time.time()
 
         ts = t["warc_ts"].combine_chunks()
         hosts = t["_host"].combine_chunks()
@@ -128,6 +166,9 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
                 [partition_host_bloom(hosts, cfg.bloom_bits_per_key)],
                 pa.binary()),
             "text_checksum": pa.array([partition_checksum(t)], pa.binary()),
+            "sort_sec": pa.array([round(t_sorted - t0, 3)], pa.float64()),
+            "encode_sec": pa.array([round(t_written - t_sorted, 3)], pa.float64()),
+            "meta_sec": pa.array([round(_time.time() - t_written, 3)], pa.float64()),
             "file": pa.array([path], pa.string()),
         })
         return footer
@@ -176,9 +217,38 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             n_rows = df.count()
         num_parts = max(1, -(-n_rows // cfg.target_partition_rows))
 
+    # straggler control, both knobs measured on the 300k-doc bench:
+    # (a) the salt threshold must track the actual partition size — a
+    #     threshold far above rows/num_parts lets one salted heavy-host
+    #     chunk dominate a task (worst task 12.9s vs 3.6s avg before);
+    # (b) kernel-stage parallelism == shuffle partitions; groups hashing
+    #     2-to-a-task double the tail, so give groups room (≥ 2×groups),
+    #     and never let AQE coalesce the CPU-bound encode stage.
+    if n_rows is not None:
+        # half the average partition size: a salted heavy-host chunk then
+        # fills at most ~half a partition, bounding the straggler tail
+        eff_thr = min(cfg.salt_threshold_rows,
+                      max(500, n_rows // max(num_parts, 1) // 2))
+        if eff_thr != cfg.salt_threshold_rows:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, salt_threshold_rows=eff_thr)
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(min(4096, max(int(prev_shuffle), cores * 2,
+                                     num_parts * 2))))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+    import sys
+    t_plan0 = time.time()
     planned = plan_partitions(df, num_parts, cfg)
     done = completed_part_ids(spark, out_dir) if resume else set()
     attempt = uuid.uuid4().hex[:12]
+    print(f"[encode] plan: {time.time() - t_plan0:.1f}s "
+          f"(num_parts={num_parts})", file=sys.stderr)
 
     n_batches = max(1, -(-num_parts // cfg.batch_partitions))
     ran = 0
@@ -195,11 +265,22 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         if done:
             sub = sub.filter(~F.col("part_id").isin(
                 [p for p in range(lo, min(hi, num_parts)) if p in done]))
-        footers = sub.groupBy("part_id").applyInArrow(
-            _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+        t_b0 = time.time()
+        if os.environ.get("SKAR_GROUPED", "1") == "1":
+            footers = sub.groupBy("part_id").applyInArrow(
+                _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+        else:
+            footers = (sub.repartition(
+                min(4096, max(cores * 2, len(batch_ids))), F.col("part_id"))
+                .mapInArrow(_encode_task(out_dir, cfg, attempt), FOOTER_DDL))
         footers.write.mode("append").parquet(lineage_dir(out_dir))
+        print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
+              f"({len(batch_ids)} parts)", file=sys.stderr)
         ran += 1
 
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   prev_coalesce)
     lin = read_lineage(spark, out_dir)
     assert lin is not None, "encode produced no lineage"
     return lin

@@ -34,6 +34,34 @@ from skar_spark.engine.bloom import SplitBlockBloom, bloom_from_keys, xxh64
 MAGIC = b"SKARSP01"
 
 
+def content_bytes(arr) -> int:
+    """Exact logical content size of a (chunked) array: value bytes +
+    offsets + validity. Unlike buffer sizes, unaffected by slicing or
+    shared buffers."""
+    import pyarrow as _pa
+    total = 0
+    chunks = arr.chunks if isinstance(arr, _pa.ChunkedArray) else [arr]
+    for c in chunks:
+        n = len(c)
+        t = c.type
+        if (_pa.types.is_string(t) or _pa.types.is_large_string(t)
+                or _pa.types.is_binary(t) or _pa.types.is_large_binary(t)):
+            import numpy as _np
+            large = _pa.types.is_large_string(t) or _pa.types.is_large_binary(t)
+            w = 8 if large else 4
+            odt = _np.int64 if large else _np.int32
+            offs = _np.frombuffer(c.buffers()[1], dtype=odt, count=n + 1,
+                                  offset=c.offset * w)
+            total += int(offs[-1] - offs[0]) + (n + 1) * w
+        elif _pa.types.is_boolean(t):
+            total += (n + 7) // 8
+        else:
+            total += n * t.bit_width // 8
+        if c.null_count:
+            total += (n + 7) // 8
+    return total
+
+
 def write_part_file(path: str, table: pa.Table,
                     cfg: EngineConfig = DEFAULT,
                     zone_col: str = "warc_ts",
@@ -43,6 +71,8 @@ def write_part_file(path: str, table: pa.Table,
 
     Returns summary stats for the lineage footer row.
     """
+    import time as _time
+    t_start = _time.time()
     tmp = path + ".tmp"
     n = table.num_rows
     cols = [c for c in table.column_names if not c.startswith("_")]
@@ -62,9 +92,7 @@ def write_part_file(path: str, table: pa.Table,
             rg: dict = {"rows": sl.num_rows, "chunks": {}}
             for c in cols:
                 arr = sl[c]
-                bytes_in += sum(
-                    buf.size for chunk in arr.chunks
-                    for buf in chunk.buffers() if buf is not None)
+                bytes_in += content_bytes(arr)
                 codec, blob = encode_auto(arr, cfg)
                 f.write(blob)
                 rg["chunks"][c] = [pos, len(blob), codec]
@@ -103,6 +131,7 @@ def write_part_file(path: str, table: pa.Table,
         "bytes_in": bytes_in,
         "bytes_out": os.path.getsize(path),
         "n_row_groups": len(rowgroups),
+        "encode_sec": round(_time.time() - t_start, 3),
         "codec_choices": json.dumps(
             {c: max(v, key=v.get) for c, v in codec_counts.items() if v},
             separators=(",", ":")),

@@ -72,12 +72,14 @@ FROM documents
 
 def q_lsh_pairs(spark, sf):
     sig = q_minhash(spark, sf)
+    # cache: the banded signatures feed 4 self-join branches (2 bands × 2
+    # sides); without it Spark recomputes the minhash transform per branch
     banded = sig.select(
         "doc_id",
         F.concat_ws(":", F.col("mh0").cast("string"),
                     F.col("mh1").cast("string")).alias("band0"),
         F.concat_ws(":", F.col("mh2").cast("string"),
-                    F.col("mh3").cast("string")).alias("band1"))
+                    F.col("mh3").cast("string")).alias("band1")).cache()
     pairs = None
     for b in ("band0", "band1"):
         l = banded.select(F.col("doc_id").alias("a"), F.col(b).alias("k"))

@@ -62,6 +62,27 @@ WHERE (o_custkey IN ({','.join(map(str, _CUSTS))}) AND o_orderstatus = 'O')
    OR (o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 200000)
 """
 
+# --- F4: composite-key IN-set — (block_number, tx_index) pair membership
+#     (execution/mod.rs:375-391); realized as a broadcast semi-join on the
+#     pair, the scalable form of the reference's hash-set probe ------------
+
+_PAIRS = [(1, 1), (3, 2), (32, 1), (70, 3), (99, 1), (1000, 2)]
+
+
+def q_pair_inset(spark, sf):
+    li = load(spark, sf, "lineitem")
+    pairs = spark.createDataFrame(_PAIRS, "l_orderkey long, l_linenumber int")
+    return (li.join(F.broadcast(pairs), ["l_orderkey", "l_linenumber"],
+                    "left_semi")
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"))
+
+
+SQL_PAIR_INSET = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+WHERE (l_orderkey, l_linenumber) IN (
+  {', '.join(f'({a}, {b})' for a, b in _PAIRS)})
+"""
+
 # --- J1/J2: semi-join (execution/mod.rs:86-95,176-194) -----------------------
 
 def q_semi_join(spark, sf):
@@ -249,8 +270,6 @@ WHERE prev_id IS NOT NULL AND gap > 1000
 
 def q_window_topk(spark, sf):
     o = load(spark, sf, "orders")
-    w = (Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(50)))
-         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()))
     return (o.withColumn("grp", F.pmod(F.col("o_custkey"), F.lit(50)))
             .withColumn("rn", F.row_number().over(
                 Window.partitionBy("grp").orderBy(

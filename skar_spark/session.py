@@ -13,6 +13,12 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # glibc: without this, every >128 KiB buffer (fsst segments, arrow
+    # scratch) is a fresh mmap/munmap — on this hypervisor fresh page
+    # faults are slow and variable; keep allocations in the arenas.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+    mem = os.environ.get("SKAR_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder
         .master(f"local[{cpus}]")
@@ -20,12 +26,27 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SKAR_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", mem)
+        # pin the heap: G1 uncommit/regrow cycles re-fault pages through
+        # the hypervisor (measured 2-3× run-to-run variance); pretouch
+        # once at startup instead
+        .config("spark.driver.extraJavaOptions",
+                f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle blocks compress ~3-4× better with zstd on webtext —
+        # less I/O and page-cache pressure for the clustering shuffle
+        .config("spark.io.compression.codec",
+                os.environ.get("SKAR_SHUFFLE_CODEC", "lz4"))
+        # spark.local.dir: /dev/shm measured SLOWER than disk here —
+        # tmpfs writes fault fresh pages through the hypervisor (Firecracker
+        # lazy memory) and serialize; the page cache absorbs disk shuffle
+        # writes anyway. Override with SKAR_LOCAL_DIR on real hardware.
+        .config("spark.local.dir",
+                os.environ.get("SKAR_LOCAL_DIR", "/tmp/skar-spark-local"))
     )
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

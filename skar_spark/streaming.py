@@ -1,0 +1,91 @@
+"""Structured-Streaming ingest — the continuous analog of the batch encoder.
+
+The reference's ingest loop is a continuous stateful stream: tail-follow
+with parent-hash verification, hot-tier appends, threshold-triggered
+flushes to parquet + index, and checkpoint-resume
+(skar/src/skar_runner.rs:107-158, 285-353; T1-T5 in SURVEY §2.7).
+
+Spark realization: `readStream` over the landing directory →
+`foreachBatch` running the same applyInArrow encode kernel per
+micro-batch (the analog of the hot→cold flush), with
+
+- exactly-once at the sink via Spark's streaming checkpoint (epoch ids)
+  *plus* our per-partition lineage — double bookkeeping exactly like the
+  reference's mdbx txn + folder rename;
+- per-epoch part-id namespacing so partitions from different micro-
+  batches never collide (the analog of skar's disjoint block-range
+  folder names);
+- a windowed watermark aggregation helper for late-data monitoring
+  (the closest analog of the reference's rollback-depth bound on
+  late/contradictory data, config.rs:8-9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine.encode import (
+    FOOTER_DDL,
+    _encode_kernel,
+    lineage_dir,
+    plan_partitions,
+)
+
+EPOCH_SPAN = 1_000_000  # part-id namespace per micro-batch epoch
+
+
+def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
+                  cfg: EngineConfig = DEFAULT,
+                  parts_per_batch: int = 8,
+                  checkpoint_dir: str | None = None):
+    """Continuously encode documents landing as parquet in `input_dir`.
+
+    Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
+    the query drains what is present and stops (good for tests/cron);
+    a long-running deployment would drop availableNow.
+    """
+    from skar_spark.synth import DOCS_DDL
+
+    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+    stream = (spark.readStream.schema(DOCS_DDL)
+              .option("maxFilesPerTrigger", "16")
+              .parquet(input_dir))
+
+    def process_batch(bdf: DataFrame, epoch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        planned = plan_partitions(bdf, parts_per_batch, cfg)
+        # namespace part ids by epoch (disjoint "folders" per flush)
+        planned = planned.withColumn(
+            "part_id",
+            (F.col("part_id") + F.lit(int(epoch_id) * EPOCH_SPAN
+                                      % (2 ** 31 - EPOCH_SPAN))).cast("int"))
+        footers = planned.groupBy("part_id").applyInArrow(
+            _encode_kernel(out_dir, cfg, f"epoch-{epoch_id}"), FOOTER_DDL)
+        footers.write.mode("append").parquet(lineage_dir(out_dir))
+
+    return (stream.writeStream
+            .foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start())
+
+
+def windowed_rate(spark: SparkSession, input_dir: str,
+                  window: str = "10 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Streaming windowed ingest-rate monitor with late-data watermark —
+    the T-operator coverage demo (tumbling window + watermark)."""
+    from skar_spark.synth import DOCS_DDL
+    stream = spark.readStream.schema(DOCS_DDL).parquet(input_dir)
+    return (stream
+            .withWatermark("warc_ts", watermark)
+            .groupBy(F.window("warc_ts", window), F.col("lang"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.octet_length("html")).alias("html_bytes")))

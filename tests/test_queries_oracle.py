@@ -76,8 +76,7 @@ def test_query_matches_oracle(spark, ddb, name):
 
 
 def test_entry_smoke(spark):
-    df = entrymod.entry.__wrapped__(spark) if hasattr(entrymod.entry, "__wrapped__") \
-        else entrymod.entry(spark)
+    df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
     assert all(r.verified for r in rows)
