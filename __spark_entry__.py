@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "cosine_topk": dedup.q_cosine_topk,
+        "ann_lsh": dedup.q_ann_lsh,
         "multimodal_decode": multimodal.q_multimodal_decode,
         # engine path (no SQL oracle — custom storage format)
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
@@ -93,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SQL_SIMHASH,
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "cosine_topk": dedup.SQL_COSINE_TOPK,
+        "ann_lsh": dedup.SQL_ANN_LSH,
         # encode_roundtrip / engine_scan_pruned: custom storage format,
         # intentionally no SQL oracle (driver rows-only check)
     }

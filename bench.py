@@ -41,9 +41,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_queries:
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()   # count() = full execution
+        # noop sink = full evaluation; count() would let Catalyst prune
+        # the computed columns and understate the cost
+        (qs[name](spark, sf_dir)
+         .write.format("noop").mode("overwrite").save())
         timings[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     # --- encode benchmark: the north-rule hot path -------------------------
     from skar_spark.config import EngineConfig
