@@ -41,6 +41,9 @@ def main() -> None:
                          "in one batch (finest resume = smaller values)")
     ap.add_argument("--zstd-level", type=int, default=9)
     ap.add_argument("--fsst-symbols", type=int, default=32)
+    ap.add_argument("--scheme", choices=["hash", "day_hash"], default="hash",
+                    help="partition layout: flat host-hash, or "
+                         "day(warc_ts) x bucket(host) for time pruning")
     args = ap.parse_args()
 
     from skar_spark.config import EngineConfig
@@ -68,7 +71,7 @@ def main() -> None:
     t0 = time.time()
     lin = encode_documents(spark, docs, args.out, cfg,
                            num_parts=args.partitions, n_rows=n_rows,
-                           resume=args.resume)
+                           resume=args.resume, scheme=args.scheme)
     agg = lin.groupBy().sum("bytes_in", "bytes_out", "row_count").collect()[0]
     sec = time.time() - t0
     out = {

@@ -64,6 +64,57 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
+def _with_salt(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Heavy-host salting: exact host counts (map-side combinable agg),
+    broadcast the small heavy map, salt = xxhash64(url) mod n_salts."""
+    heavy = (df.groupBy("host").count()
+             .filter(F.col("count") > cfg.salt_threshold_rows)
+             .select("host",
+                     F.ceil(F.col("count") / cfg.salt_threshold_rows)
+                     .cast("int").alias("n_salts")))
+    df = df.join(F.broadcast(heavy), "host", "left")
+    return df.withColumn(
+        "salt",
+        F.when(F.col("n_salts").isNotNull(),
+               F.pmod(F.xxhash64("url"), F.col("n_salts")))
+        .otherwise(F.lit(0)).cast("int")).drop("n_salts")
+
+
+def plan_partitions_day_hash(df: DataFrame, target_rows: int,
+                             cfg: EngineConfig = DEFAULT
+                             ) -> tuple[DataFrame, int]:
+    """Range × hash layout: part_id = (day(warc_ts) − min_day) · B +
+    bucket(host, salt) — the Iceberg `days(warc_ts) × bucket(url)`
+    layout from SURVEY §1.3 (mirror of skar's block-range folders,
+    which ARE its time-range partitions). Each partition covers one
+    day, so lineage min/max warc_ts zone maps prune whole partitions
+    for time-windowed scans — the capability the flat hash scheme
+    lacks. Returns (planned_df, num_parts).
+
+    The day-stats aggregation is one map-side-combined pass (3 longs
+    out); at 10^12 docs it is metadata-cheap next to the main shuffle.
+    """
+    df = with_host(df)
+    stats = df.agg(
+        F.min(F.to_date("warc_ts")).alias("d0"),
+        F.max(F.to_date("warc_ts")).alias("d1"),
+        F.count("*").alias("n")).collect()[0]
+    n_days = (stats.d1 - stats.d0).days + 1
+    buckets = max(1, -(-int(stats.n) // n_days // target_rows))
+    num_parts = n_days * buckets
+    import dataclasses
+    cfg = dataclasses.replace(
+        cfg, salt_threshold_rows=min(cfg.salt_threshold_rows,
+                                     max(500, target_rows // 2)))
+    df = _with_salt(df, cfg)
+    day_idx = F.datediff(F.to_date("warc_ts"), F.lit(stats.d0))
+    return df.withColumn(
+        "part_id",
+        (day_idx * buckets
+         + F.pmod(F.xxhash64("host", "salt"), F.lit(buckets)))
+        .cast("int")), num_parts
+
+
 def plan_partitions(df: DataFrame, num_parts: int,
                     cfg: EngineConfig = DEFAULT) -> DataFrame:
     """Attach deterministic `part_id` with heavy-host salting.
@@ -73,18 +124,7 @@ def plan_partitions(df: DataFrame, num_parts: int,
     threshold; (2) broadcast-join that small map and compute
     salt = xxhash64(url) mod n_salts for heavy hosts, 0 otherwise.
     """
-    df = with_host(df)
-    heavy = (df.groupBy("host").count()
-             .filter(F.col("count") > cfg.salt_threshold_rows)
-             .select("host",
-                     F.ceil(F.col("count") / cfg.salt_threshold_rows)
-                     .cast("int").alias("n_salts")))
-    df = df.join(F.broadcast(heavy), "host", "left")
-    df = df.withColumn(
-        "salt",
-        F.when(F.col("n_salts").isNotNull(),
-               F.pmod(F.xxhash64("url"), F.col("n_salts")))
-        .otherwise(F.lit(0)).cast("int")).drop("n_salts")
+    df = _with_salt(with_host(df), cfg)
     return df.withColumn(
         "part_id",
         F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
@@ -202,7 +242,8 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
                      num_parts: int | None = None,
                      n_rows: int | None = None,
                      resume: bool = False,
-                     max_batches: int | None = None) -> DataFrame:
+                     max_batches: int | None = None,
+                     scheme: str = "hash") -> DataFrame:
     """Run the encode job; returns the lineage DataFrame.
 
     The driver loops over part-id batches of `cfg.batch_partitions`,
@@ -212,7 +253,11 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     mid-way to exercise resume.
     """
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
-    if num_parts is None:
+    day_planned = None
+    if scheme == "day_hash":
+        day_planned, num_parts = plan_partitions_day_hash(
+            df, cfg.target_partition_rows, cfg)
+    elif num_parts is None:
         if n_rows is None:
             n_rows = df.count()
         num_parts = max(1, -(-n_rows // cfg.target_partition_rows))
@@ -244,7 +289,8 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
 
     import sys
     t_plan0 = time.time()
-    planned = plan_partitions(df, num_parts, cfg)
+    planned = day_planned if day_planned is not None \
+        else plan_partitions(df, num_parts, cfg)
     done = completed_part_ids(spark, out_dir) if resume else set()
     attempt = uuid.uuid4().hex[:12]
     print(f"[encode] plan: {time.time() - t_plan0:.1f}s "
