@@ -32,6 +32,10 @@ def main() -> None:
                          "or synth:N for the deterministic generator")
     ap.add_argument("--out", required=True)
     ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--master", default=None,
+                    help="spark:// URL for a standalone cluster "
+                         "(default: local[cpus]); --cpus then = total "
+                         "executor cores for shuffle sizing")
     ap.add_argument("--partitions", type=int, default=None,
                     help="number of output partitions (default: rows/target)")
     ap.add_argument("--target-partition-rows", type=int, default=20_000)
@@ -44,6 +48,10 @@ def main() -> None:
     ap.add_argument("--scheme", choices=["hash", "day_hash"], default="hash",
                     help="partition layout: flat host-hash, or "
                          "day(warc_ts) x bucket(host) for time pruning")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a small untimed encode first (JIT + Python "
+                         "daemon + Arrow-path warm-up) so the timed run "
+                         "measures steady-state throughput")
     args = ap.parse_args()
 
     from skar_spark.config import EngineConfig
@@ -51,7 +59,8 @@ def main() -> None:
     from skar_spark.session import get_spark
     from skar_spark.synth import synth_documents
 
-    spark = get_spark(cpus=args.cpus, app="skar_encode_job")
+    spark = get_spark(cpus=args.cpus, app="skar_encode_job",
+                      master=args.master)
     cfg = EngineConfig(
         target_partition_rows=args.target_partition_rows,
         salt_threshold_rows=args.target_partition_rows,
@@ -66,7 +75,20 @@ def main() -> None:
         docs.cache().count()  # exclude generation from the timed encode
     else:
         docs = spark.read.parquet(args.input)
-        n_rows = docs.count()
+        n_rows = docs.count()  # parquet metadata count; also forces
+        # executor registration so startup isn't in the timed section
+
+    if args.warmup:
+        # untimed warm-up over ~2% of rows through the full encode path:
+        # JVM JIT, Python worker daemons, Arrow IPC buffers, codec imports
+        import shutil as _sh
+        from pyspark.sql import functions as F
+        wdir = args.out + ".warmup"
+        _sh.rmtree(wdir, ignore_errors=True)
+        sample = docs.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+        encode_documents(spark, sample, wdir, cfg,
+                         num_parts=args.cpus, n_rows=max(n_rows // 50, 1))
+        _sh.rmtree(wdir, ignore_errors=True)
 
     t0 = time.time()
     lin = encode_documents(spark, docs, args.out, cfg,

@@ -1,15 +1,28 @@
 #!/usr/bin/env python
 """Two-cluster-size scaling measurement (the north-rule criterion).
 
-No real cluster exists in this sandbox, so the N→4N executor scaling is
-evidenced by running the identical encode job at local[8] and local[32]
-on the same deterministic input (BASELINE.md's protocol). Each run is a
-fresh process so JVM/session state can't leak between measurements.
+The north rule asks for the same job run via `spark-submit --py-files`
+on a multi-executor cluster at N and 4N executors. No remote cluster
+exists in this sandbox, so this harness launches a REAL Spark standalone
+cluster on localhost (master + worker daemons, separate executor JVMs,
+netty shuffle) and submits the encode job against it at two sizes:
 
-    python jobs/scaling.py [--docs 120000] [--repeats 1]
+    N  = 1 worker  x --worker-cores (default 8)  -> 1 executor JVM
+    4N = 4 workers x --worker-cores               -> 4 executor JVMs
+
+Both sizes read the same pre-generated parquet input from shared disk
+(the single-box analog of a cluster reading object storage) with
+identical per-executor resources; only the executor count changes —
+exactly the N->4N experiment the rule describes. local[8]/local[32]
+mode is kept as `--mode local` for comparison, but local mode funnels
+all 32 cores through ONE JVM's Arrow IPC + GC, a topology no real
+cluster has; the standalone numbers are the representative ones.
+
+    python jobs/scaling.py [--docs 1000000] [--repeats 2] [--mode standalone]
 
 Prints one JSON line: throughput at both sizes + scaling efficiency
-(= (gbps_32 / gbps_8) / 4).
+(= (gbps_4N / gbps_N) / 4), best-of over interleaved repeats (this
+host has documented 1.5-3x noisy-neighbor variance).
 """
 
 from __future__ import annotations
@@ -18,51 +31,248 @@ import argparse
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
+import time
+import urllib.request
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+MASTER_URL = "spark://127.0.0.1:7077"
+MASTER_UI = "http://127.0.0.1:8080/json"
 
 
-def run_once(cpus: int, docs: int, tag: str, partitions: int = None) -> dict:
+def spark_home() -> str:
+    import pyspark
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _env() -> dict:
+    env = dict(os.environ)
+    env["SPARK_HOME"] = spark_home()
+    env["SPARK_LOCAL_IP"] = "127.0.0.1"
+    env["SPARK_LOG_DIR"] = "/tmp/spark-logs"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _spark_class(cls: str, *args: str) -> subprocess.Popen:
+    os.makedirs("/tmp/spark-logs", exist_ok=True)
+    log = open(f"/tmp/spark-logs/{cls.rsplit('.', 1)[-1].lower()}-"
+               f"{time.time():.0f}.out", "w")
+    return subprocess.Popen(
+        [os.path.join(spark_home(), "bin", "spark-class"), cls, *args],
+        stdout=log, stderr=subprocess.STDOUT, env=_env(),
+        start_new_session=True)
+
+
+def _alive_workers() -> int:
+    try:
+        with urllib.request.urlopen(MASTER_UI, timeout=3) as r:
+            j = json.load(r)
+        return sum(1 for w in j.get("workers", [])
+                   if w.get("state") == "ALIVE")
+    except Exception:
+        return -1  # master not up
+
+
+def _kill_pattern(pat: str) -> None:
+    subprocess.run(["pkill", "-f", pat], check=False)
+
+
+class Cluster:
+    """Lifecycle for a localhost standalone cluster."""
+
+    def __init__(self, worker_cores: int, worker_mem: str = "26g"):
+        self.worker_cores = worker_cores
+        self.worker_mem = worker_mem
+        self.workers: list[subprocess.Popen] = []
+        self.master: subprocess.Popen | None = None
+
+    def ensure_master(self) -> None:
+        if _alive_workers() >= 0:
+            return
+        self.master = _spark_class(
+            "org.apache.spark.deploy.master.Master",
+            "-h", "127.0.0.1", "-p", "7077", "--webui-port", "8080")
+        for _ in range(60):
+            if _alive_workers() >= 0:
+                return
+            time.sleep(1)
+        raise RuntimeError("standalone master failed to start")
+
+    def set_workers(self, n: int) -> None:
+        self.stop_workers()
+        for i in range(n):
+            self.workers.append(_spark_class(
+                "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                "-c", str(self.worker_cores), "-m", self.worker_mem,
+                "-h", "127.0.0.1", "--webui-port", "0"))
+        for _ in range(90):
+            if _alive_workers() == n:
+                return
+            time.sleep(1)
+        raise RuntimeError(f"expected {n} ALIVE workers, "
+                           f"got {_alive_workers()}")
+
+    def stop_workers(self) -> None:
+        for p in self.workers:
+            try:
+                os.killpg(p.pid, signal.SIGTERM)
+            except Exception:
+                pass
+        self.workers = []
+        _kill_pattern("deploy.worker.Worker")
+        _kill_pattern("CoarseGrainedExecutorBackend")
+        for _ in range(30):
+            if _alive_workers() in (0, -1):
+                break
+            time.sleep(1)
+
+    def teardown(self) -> None:
+        self.stop_workers()
+        if self.master is not None:
+            try:
+                os.killpg(self.master.pid, signal.SIGTERM)
+            except Exception:
+                pass
+            _kill_pattern("deploy.master.Master")
+
+
+def make_input(docs: int) -> str:
+    """Deterministic synthetic input, written once to shared disk."""
+    path = f"/tmp/skar_scaling_input_{docs}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    p = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {REPO!r})\n"
+         "from skar_spark.session import get_spark\n"
+         "from skar_spark.synth import synth_documents\n"
+         "spark = get_spark(cpus=32, app='synth_input', master='local[32]')\n"
+         f"synth_documents(spark, {docs}, partitions=64)"
+         f".write.mode('overwrite').parquet({path!r})\n"
+         "spark.stop()\n"],
+        env=_env(), cwd=REPO, timeout=1800)
+    if p.returncode != 0:
+        raise RuntimeError("input generation failed")
+    return path
+
+
+def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
+                  partitions: int, executor_mem: str,
+                  timeout: int = 1800) -> dict:
+    out = f"/tmp/skar_scaling_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    env = _env()
+    env["SKAR_EXECUTOR_MEM"] = executor_mem
+    cmd = [os.path.join(spark_home(), "bin", "spark-submit"),
+           "--master", MASTER_URL,
+           "--py-files", _pkg_zip(),
+           "--executor-memory", executor_mem,
+           os.path.join(HERE, "encode_job.py"),
+           "--input", inp, "--out", out,
+           "--cpus", str(total_cores), "--master", MASTER_URL,
+           "--partitions", str(partitions), "--warmup"]
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=REPO, timeout=timeout)
+    shutil.rmtree(out, ignore_errors=True)
+    if p.returncode != 0:
+        raise RuntimeError(f"submit cores={total_cores} failed:\n"
+                           f"{p.stderr[-3000:]}")
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def _pkg_zip() -> str:
+    zpath = "/tmp/skar_spark_pkg.zip"
+    if os.path.exists(zpath):
+        os.unlink(zpath)
+    import zipfile
+    src = os.path.join(REPO, "skar_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(src):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_local(cpus: int, docs: int, tag: str, partitions: int) -> dict:
     out = f"/tmp/skar_scaling_{tag}_{cpus}"
     shutil.rmtree(out, ignore_errors=True)
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env = _env()
     p = subprocess.run(
         [sys.executable, os.path.join(HERE, "encode_job.py"),
          "--input", f"synth:{docs}", "--out", out, "--cpus", str(cpus),
-         "--partitions", str(partitions or max(128, docs // 7000))],
+         "--partitions", str(partitions)],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=3600)
     if p.returncode != 0:
         raise RuntimeError(f"cpus={cpus} failed:\n{p.stderr[-3000:]}")
-    line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    line = [ln for ln in p.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
     shutil.rmtree(out, ignore_errors=True)
     return json.loads(line)
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=120_000)
-    ap.add_argument("--n", type=int, default=8)
-    ap.add_argument("--n4", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=1_000_000)
+    ap.add_argument("--mode", choices=["standalone", "local"],
+                    default="standalone")
+    ap.add_argument("--worker-cores", type=int, default=8)
+    ap.add_argument("--n-workers", type=int, default=1)
+    ap.add_argument("--n4-workers", type=int, default=4)
+    ap.add_argument("--executor-mem", default="10g")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--repeats", type=int, default=2,
                     help="interleaved repeats; best-of is reported "
                          "(this host has noisy-neighbor variance)")
+    ap.add_argument("--keep-cluster", action="store_true")
     args = ap.parse_args()
+    partitions = args.partitions or max(128, args.docs // 7000)
 
     runs_n, runs_4n = [], []
-    for r in range(args.repeats):
-        runs_4n.append(run_once(args.n4, args.docs, f"b{r}", args.partitions))
-        runs_n.append(run_once(args.n, args.docs, f"a{r}", args.partitions))
+    if args.mode == "local":
+        n_cores = args.n_workers * args.worker_cores
+        n4_cores = args.n4_workers * args.worker_cores
+        for r in range(args.repeats):
+            runs_4n.append(run_local(n4_cores, args.docs, f"b{r}",
+                                     partitions))
+            runs_n.append(run_local(n_cores, args.docs, f"a{r}",
+                                    partitions))
+    else:
+        inp = make_input(args.docs)
+        cluster = Cluster(args.worker_cores)
+        try:
+            cluster.ensure_master()
+            for r in range(args.repeats):
+                for n_w, runs, tag in ((args.n4_workers, runs_4n, "b"),
+                                       (args.n_workers, runs_n, "a")):
+                    cluster.set_workers(n_w)
+                    runs.append(submit_encode(
+                        n_w * args.worker_cores, args.docs, inp,
+                        f"{tag}{r}", partitions, args.executor_mem))
+        finally:
+            if not args.keep_cluster:
+                cluster.teardown()
+        n_cores = args.n_workers * args.worker_cores
+        n4_cores = args.n4_workers * args.worker_cores
+
     best_n = max(runs_n, key=lambda x: x["gb_per_sec"])
     best_4n = max(runs_4n, key=lambda x: x["gb_per_sec"])
-    eff = (best_4n["gb_per_sec"] / best_n["gb_per_sec"]) / (args.n4 / args.n)
+    eff = (best_4n["gb_per_sec"] / best_n["gb_per_sec"]) / (
+        n4_cores / n_cores)
     print(json.dumps({
-        "docs": args.docs,
-        "n_cpus": args.n, "n4_cpus": args.n4,
+        "docs": args.docs, "mode": args.mode,
+        "n_cores": n_cores, "n4_cores": n4_cores,
+        "n_executors": args.n_workers if args.mode == "standalone" else 1,
+        "n4_executors": (args.n4_workers if args.mode == "standalone"
+                         else 1),
         "gbps_n": best_n["gb_per_sec"], "gbps_4n": best_4n["gb_per_sec"],
         "sec_n": best_n["sec"], "sec_4n": best_4n["sec"],
         "all_sec_n": [r["sec"] for r in runs_n],

@@ -5,11 +5,18 @@ index (db/mod.rs:217-305) → row-group selection via zone maps + blooms
 (data_provider.rs:185-333) → projected parallel column decode
 (data_provider.rs:112-119). Here:
 
-- partition pruning happens on the driver against the lineage table
-  (min/max warc_ts zone maps + host split-block bloom) — the analog of
-  the folder index seek + bloom-based query pruning (handler.rs:144-250);
-- row-group pruning + projection happen inside the mapInArrow kernel
-  against the part-file footer;
+- partition pruning is DISTRIBUTED: zone-map predicates run as DataFrame
+  filters over the lineage table and bloom probes run executor-side in a
+  vectorized pass; only the surviving file paths (strings) ever reach the
+  driver — never the bloom blobs. That is the Spark analog of the
+  reference's index SEEK (db/mod.rs:217-305), not an index scan: at 10^6
+  partitions the driver holds a file list, not GBs of filters;
+- per-disjunct pruning (`prune_selections`) mirrors prune_query
+  (handler.rs:187-250): each (hosts, ts_range) selection is tested against
+  every partition's zone maps + bloom, dropping partitions no disjunct
+  can touch;
+- row-group pruning + projection + EXACT predicate apply happen inside
+  the mapInArrow kernel against the part-file footer;
 - decode is vectorized (numpy/pyarrow) per column chunk.
 """
 
@@ -20,8 +27,8 @@ import os
 
 import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from skar_spark.engine.bloom import bloom_might_contain
 from skar_spark.engine.decode_schema import spark_ddl_for
 from skar_spark.engine.encode import read_lineage
 from skar_spark.engine.partfile import read_footer, read_part_file
@@ -31,44 +38,181 @@ def list_part_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "parts", "part-*.skar")))
 
 
+def _lineage_keep_expr(host_eq: str | None,
+                       ts_range: tuple[int, int] | None):
+    """Zone-map survival predicate over lineage columns (JVM-side)."""
+    keep = F.lit(True)
+    if ts_range is not None:
+        lo_us, hi_us = int(ts_range[0]), int(ts_range[1])
+        keep = keep & (
+            F.col("min_warc_ts").isNull()
+            | ~((F.unix_micros(F.col("min_warc_ts")) >= F.lit(hi_us))
+                | (F.unix_micros(F.col("max_warc_ts")) < F.lit(lo_us))))
+    return keep
+
+
+def _bloom_probe_udf(hosts: list[str]):
+    """Vectorized executor-side bloom probe: True if ANY host in `hosts`
+    might be in the partition's bloom (null bloom → can't prune)."""
+    import pandas as pd
+
+    from skar_spark.engine.bloom import bloom_might_contain
+
+    def might(blobs):
+        # one probe per PARTITION (metadata row), not per data row
+        return pd.Series([
+            b is None or any(bloom_might_contain(bytes(b), h)
+                             for h in hosts)
+            for b in blobs])
+
+    # annotate at runtime (the module-level `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf rejects)
+    might.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return F.pandas_udf(might, "boolean")
+
+
 def prune_partitions(spark: SparkSession, out_dir: str,
                      host_eq: str | None = None,
                      ts_range: tuple[int, int] | None = None) -> list[str]:
-    """Driver-side partition pruning via lineage zone maps + host blooms —
-    the mirror of prune_query folder skipping (handler.rs:144-158)."""
+    """Distributed partition pruning via lineage zone maps + host blooms —
+    the mirror of the folder index seek (db/mod.rs:217-305) + prune_query
+    folder skipping (handler.rs:144-158). Bloom blobs are probed
+    executor-side; the driver only ever sees surviving path strings."""
     files = list_part_files(out_dir)
-    lin = read_lineage(spark, out_dir)
+    lin = read_lineage(spark, out_dir, latest=True)
     if lin is None or (host_eq is None and ts_range is None):
         return files
-    rows = lin.select("file", "min_warc_ts", "max_warc_ts",
-                      "host_bloom").collect()
-    keep = []
-    by_file = {r.file: r for r in rows}
-    for f in files:
-        r = by_file.get(f)
-        if r is None:
-            keep.append(f)  # no lineage info → cannot prune
+    sel = lin.filter(_lineage_keep_expr(host_eq, ts_range))
+    if host_eq is not None:
+        sel = sel.filter(_bloom_probe_udf([host_eq])(F.col("host_bloom")))
+    survived = {r.file for r in sel.select("file").collect()}
+    in_lineage = {r.file for r in lin.select("file").collect()}
+    # files with no lineage row can't be pruned; keep them
+    return [f for f in files if f in survived or f not in in_lineage]
+
+
+def prune_partitions_local(out_dir: str,
+                           host_eq: str | None = None,
+                           ts_range: tuple[int, int] | None = None,
+                           any_hosts: list[str] | None = None
+                           ) -> list[str]:
+    """Single-process partition pruning for contexts that cannot launch a
+    Spark job (the Python DataSource planning worker). The analog of the
+    reference's single-node index seek (db/mod.rs:217-305): STREAMS the
+    lineage parquet batch-by-batch (projection: metadata columns + bloom),
+    evaluates zone maps vectorized and blooms per surviving row, and
+    retains only {partition_id → (committed_at, file, keep)} — never all
+    bloom blobs at once, so memory stays O(#partitions) strings even at
+    10^6 partitions.
+
+    `any_hosts` prunes to partitions whose bloom might contain ANY of the
+    given hosts (used for url-equality and host-IN pruning).
+    """
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from skar_spark.engine.bloom import bloom_might_contain
+    from skar_spark.engine.encode import lineage_dir
+
+    files = list_part_files(out_dir)
+    probes = list(any_hosts or [])
+    if host_eq is not None:
+        probes = [host_eq]
+    if not probes and ts_range is None:
+        return files
+    try:
+        d = pads.dataset(lineage_dir(out_dir), format="parquet")
+    except Exception:
+        return files
+    cols = ["partition_id", "file", "min_warc_ts", "max_warc_ts",
+            "host_bloom"]
+    names = set(d.schema.names)
+    has_commit = "committed_at" in names
+    if has_commit:
+        cols.append("committed_at")
+    if not {"file", "min_warc_ts", "max_warc_ts"} <= names:
+        return files
+    latest: dict[int, tuple[float, str, bool]] = {}
+    for batch in d.to_batches(columns=cols):
+        n = batch.num_rows
+        if n == 0:
             continue
-        if ts_range is not None and r.min_warc_ts is not None:
-            lo_us = int(r.min_warc_ts.timestamp() * 1_000_000)
-            hi_us = int(r.max_warc_ts.timestamp() * 1_000_000)
-            if lo_us >= ts_range[1] or hi_us < ts_range[0]:
-                continue
-        if host_eq is not None and r.host_bloom is not None:
-            if not bloom_might_contain(bytes(r.host_bloom), host_eq):
-                continue
-        keep.append(f)
-    return keep
+        keep = np.ones(n, dtype=bool)
+        if ts_range is not None:
+            # normalize to microseconds regardless of the stored unit
+            lo = batch.column("min_warc_ts").cast(pa.timestamp("us")).cast(
+                pa.int64()).to_numpy(zero_copy_only=False).astype("float64")
+            hi = batch.column("max_warc_ts").cast(pa.timestamp("us")).cast(
+                pa.int64()).to_numpy(zero_copy_only=False).astype("float64")
+            known = ~np.isnan(lo)
+            keep &= ~known | ~((lo >= ts_range[1]) | (hi < ts_range[0]))
+        pids = batch.column("partition_id").to_pylist()
+        fnames = batch.column("file").to_pylist()
+        commits = (batch.column("committed_at").to_pylist()
+                   if has_commit else [None] * n)
+        blooms = batch.column("host_bloom") if probes else None
+        for i in range(n):  # per PARTITION metadata row, not per data row
+            k = bool(keep[i])
+            if k and probes:
+                b = blooms[i].as_py()
+                k = b is None or any(bloom_might_contain(bytes(b), h)
+                                     for h in probes)
+            ts = commits[i] if commits[i] is not None else float("-inf")
+            prev = latest.get(pids[i])
+            if prev is None or ts >= prev[0]:
+                latest[pids[i]] = (ts, fnames[i], k)
+    survived = {f for (_ts, f, k) in latest.values() if k}
+    in_lineage = {f for (_ts, f, _k) in latest.values()}
+    return [f for f in files if f in survived or f not in in_lineage]
+
+
+def prune_selections(spark: SparkSession, out_dir: str,
+                     selections: list[dict]) -> dict[str, list[int]]:
+    """Per-disjunct pruning — the prune_query analog (handler.rs:187-250).
+
+    `selections` is a list of disjuncts, each `{"hosts": [...] | None,
+    "ts_range": (lo_us, hi_us) | None}` (conjunctive within a disjunct,
+    OR across). Returns {file: [surviving disjunct indices]} containing
+    only files at least one disjunct can touch. Evaluation is one
+    distributed pass over the lineage table: zone maps as JVM-side
+    expressions, blooms probed executor-side, per selection.
+    """
+    files = set(list_part_files(out_dir))
+    lin = read_lineage(spark, out_dir, latest=True)
+    if lin is None:
+        return {f: list(range(len(selections))) for f in sorted(files)}
+    sel_df = lin.select("file", "min_warc_ts", "max_warc_ts", "host_bloom")
+    for i, s in enumerate(selections):
+        hosts = s.get("hosts")
+        keep = _lineage_keep_expr(None, s.get("ts_range"))
+        if hosts:
+            keep = keep & _bloom_probe_udf(list(hosts))(F.col("host_bloom"))
+        sel_df = sel_df.withColumn(f"_k{i}", keep)
+    rows = sel_df.filter(
+        " or ".join(f"_k{i}" for i in range(len(selections)))
+    ).select("file", *[f"_k{i}" for i in range(len(selections))]).collect()
+    out = {}
+    for r in rows:
+        if r.file in files:
+            out[r.file] = [i for i in range(len(selections)) if r[f"_k{i}"]]
+    # files with no lineage row can't be pruned; all disjuncts apply
+    in_lineage = {r.file for r in lin.select("file").collect()}
+    for f in sorted(files - in_lineage):
+        out[f] = list(range(len(selections)))
+    return out
 
 
 def scan(spark: SparkSession, out_dir: str,
          columns: list[str] | None = None,
          host_eq: str | None = None,
          ts_range: tuple[int, int] | None = None) -> DataFrame:
-    """Distributed decode: one task per part file, Arrow batches out."""
+    """Distributed decode: one task per part file, Arrow batches out.
+
+    Predicates are EXACT: partitions and row groups that can't match are
+    pruned via zone maps + blooms, and surviving row groups are
+    post-filtered inside the kernel (read_part_file exact=True), so the
+    returned DataFrame contains precisely the matching rows."""
     files = prune_partitions(spark, out_dir, host_eq, ts_range)
-    if not files:
-        files = []
     # schema from the first footer (fixed schema across partitions)
     all_files = files or list_part_files(out_dir)
     if not all_files:
@@ -90,3 +234,48 @@ def scan(spark: SparkSession, out_dir: str,
                     yield rb
 
     return paths_df.mapInArrow(decode_fn, schema=ddl)
+
+
+def validate_output(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Post-write validation re-read — the mirror of the reference's
+    validate_parquet pass before publish (validate_parquet.rs:17-66,
+    invoked at skar_runner.rs:309-312).
+
+    Re-reads every committed part file executor-side, recomputes the
+    (url, text) content checksum, and compares it to the lineage's stored
+    `text_checksum`. Returns one row per part:
+    (partition_id, file, ok, error). A corrupt / truncated / missing file
+    yields ok=false with the exception text instead of crashing the job.
+    """
+    lin = read_lineage(spark, out_dir, latest=True)
+    if lin is None:
+        raise FileNotFoundError(f"no lineage under {out_dir}")
+    meta = (lin.filter(F.col("status") == "committed")
+            .select("partition_id", "file", "text_checksum"))
+
+    def check_fn(batches):
+        from skar_spark.engine.partfile import partition_checksum
+        for batch in batches:
+            pids = batch.column("partition_id").to_pylist()
+            paths = batch.column("file").to_pylist()
+            sums = batch.column("text_checksum").to_pylist()
+            for pid, p, want in zip(pids, paths, sums):
+                try:
+                    t = read_part_file(p, columns=["url", "text"])
+                    got = partition_checksum(t)
+                    ok = (want is not None and bytes(want) == got)
+                    err = None if ok else "checksum mismatch"
+                except Exception as e:  # corrupt/missing file
+                    ok, err = False, f"{type(e).__name__}: {e}"
+                yield pa.record_batch({
+                    "partition_id": pa.array([pid], pa.int32()),
+                    "file": pa.array([p], pa.string()),
+                    "ok": pa.array([ok], pa.bool_()),
+                    "error": pa.array([err], pa.string()),
+                })
+
+    n = max(1, meta.count())
+    return (meta.repartition(min(n, 256))
+            .mapInArrow(check_fn,
+                        "partition_id int, file string, ok boolean, "
+                        "error string"))

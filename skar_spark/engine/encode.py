@@ -53,7 +53,8 @@ FOOTER_DDL = (
     "codec_choices string, bytes_in long, bytes_out long, "
     "min_warc_ts timestamp, max_warc_ts timestamp, n_hosts int, "
     "n_row_groups int, host_bloom binary, text_checksum binary, "
-    "sort_sec double, encode_sec double, meta_sec double, file string"
+    "sort_sec double, encode_sec double, meta_sec double, file string, "
+    "committed_at double"
 )
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
@@ -64,11 +65,14 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
-def _with_salt(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+def _with_salt(df: DataFrame, cfg: EngineConfig,
+               host_counts: DataFrame | None = None) -> DataFrame:
     """Heavy-host salting: exact host counts (map-side combinable agg),
-    broadcast the small heavy map, salt = xxhash64(url) mod n_salts."""
-    heavy = (df.groupBy("host").count()
-             .filter(F.col("count") > cfg.salt_threshold_rows)
+    broadcast the small heavy map, salt = xxhash64(url) mod n_salts.
+    `host_counts` lets the caller reuse an already-computed count pass."""
+    hc = host_counts if host_counts is not None \
+        else df.groupBy("host").count()
+    heavy = (hc.filter(F.col("count") > cfg.salt_threshold_rows)
              .select("host",
                      F.ceil(F.col("count") / cfg.salt_threshold_rows)
                      .cast("int").alias("n_salts")))
@@ -116,7 +120,8 @@ def plan_partitions_day_hash(df: DataFrame, target_rows: int,
 
 
 def plan_partitions(df: DataFrame, num_parts: int,
-                    cfg: EngineConfig = DEFAULT) -> DataFrame:
+                    cfg: EngineConfig = DEFAULT,
+                    host_counts: DataFrame | None = None) -> DataFrame:
     """Attach deterministic `part_id` with heavy-host salting.
 
     Two-phase: (1) exact host counts (map-side combinable agg; cheap —
@@ -124,43 +129,10 @@ def plan_partitions(df: DataFrame, num_parts: int,
     threshold; (2) broadcast-join that small map and compute
     salt = xxhash64(url) mod n_salts for heavy hosts, 0 otherwise.
     """
-    df = _with_salt(with_host(df), cfg)
+    df = _with_salt(with_host(df), cfg, host_counts)
     return df.withColumn(
         "part_id",
         F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
-
-
-def _encode_task(out_dir: str, cfg: EngineConfig, attempt: str):
-    """mapInArrow task kernel: a hash-partitioned stream of batches in
-    (possibly several part_ids per task), one footer row per part_id out.
-
-    Deliberately mapInArrow rather than groupBy().applyInArrow: the
-    grouped-map path sorts and materializes every group JVM-side, which
-    duplicates the lexsort the kernel performs anyway (measured ~25s of
-    non-scaling machinery on a 5 GB input at 32 cores).
-    """
-    kernel = _encode_kernel(out_dir, cfg, attempt)
-
-    def task(batches):
-        import pyarrow as _pa
-        batch_list = list(batches)
-        if not batch_list:
-            return
-        table = _pa.Table.from_batches(batch_list)
-        if table.num_rows == 0:
-            return
-        # split by part_id (cheap: indices only), then run the per-
-        # partition kernel on zero-copy takes
-        import numpy as _np
-        pids = table["part_id"].to_numpy(zero_copy_only=False)
-        for pid in _np.unique(pids):
-            sel = _np.flatnonzero(pids == pid)
-            sub = table.take(_pa.array(sel))
-            footer = kernel(sub)
-            for rb in footer.to_batches():
-                yield rb
-
-    return task
 
 
 def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
@@ -210,6 +182,7 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
             "encode_sec": pa.array([round(t_written - t_sorted, 3)], pa.float64()),
             "meta_sec": pa.array([round(_time.time() - t_written, 3)], pa.float64()),
             "file": pa.array([path], pa.string()),
+            "committed_at": pa.array([_time.time()], pa.float64()),
         })
         return footer
 
@@ -220,12 +193,25 @@ def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
 
 
-def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def read_lineage(spark: SparkSession, out_dir: str,
+                 latest: bool = False) -> DataFrame | None:
+    """Read the lineage table. `latest=True` keeps only the newest
+    committed attempt per partition_id (re-encodes after a failed
+    validation supersede their predecessors by `committed_at`), so
+    aggregates and pruning never double-count a partition."""
     path = lineage_dir(out_dir)
     try:
-        return spark.read.parquet(path)
+        lin = spark.read.parquet(path)
     except Exception:
         return None
+    if not latest:
+        return lin
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("partition_id").orderBy(
+        F.col("committed_at").desc_nulls_last(),
+        F.col("attempt_id").desc())
+    return (lin.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
 
 
 def completed_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
@@ -243,23 +229,36 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
                      n_rows: int | None = None,
                      resume: bool = False,
                      max_batches: int | None = None,
-                     scheme: str = "hash") -> DataFrame:
-    """Run the encode job; returns the lineage DataFrame.
+                     scheme: str = "hash",
+                     verify: bool = False) -> DataFrame:
+    """Run the encode job; returns the lineage DataFrame (latest attempt
+    per partition).
 
     The driver loops over part-id batches of `cfg.batch_partitions`,
     committing the lineage append per batch — the checkpoint granularity
     (mirror of the reference's per-folder flush+index commit,
     skar_runner.rs:285-353). `max_batches` lets tests kill the job
     mid-way to exercise resume.
+
+    `verify=True` with resume re-reads every previously-committed part
+    file and checks its content checksum against lineage before trusting
+    it (mirror of validate_parquet.rs:17-66 at skar_runner.rs:309-312);
+    corrupt parts are re-encoded and their lineage rows superseded.
     """
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     day_planned = None
+    host_counts = None
     if scheme == "day_hash":
         day_planned, num_parts = plan_partitions_day_hash(
             df, cfg.target_partition_rows, cfg)
     elif num_parts is None:
         if n_rows is None:
-            n_rows = df.count()
+            # one pass serves both: total rows for partition planning AND
+            # the per-host counts salting needs (no separate df.count())
+            host_counts = with_host(df).groupBy("host").count()
+            host_counts = host_counts.cache()
+            n_rows = host_counts.agg(
+                F.sum("count").alias("n")).collect()[0].n or 0
         num_parts = max(1, -(-n_rows // cfg.target_partition_rows))
 
     # straggler control, both knobs measured on the 300k-doc bench:
@@ -290,8 +289,28 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     import sys
     t_plan0 = time.time()
     planned = day_planned if day_planned is not None \
-        else plan_partitions(df, num_parts, cfg)
-    done = completed_part_ids(spark, out_dir) if resume else set()
+        else plan_partitions(df, num_parts, cfg, host_counts)
+    if resume:
+        done = completed_part_ids(spark, out_dir)
+        if verify and done:
+            from skar_spark.engine.decode import validate_output
+            bad = {r.partition_id for r in
+                   validate_output(spark, out_dir)
+                   .filter(~F.col("ok")).select("partition_id").collect()}
+            if bad:
+                print(f"[encode] verify: re-encoding {len(bad)} corrupt "
+                      f"partition(s): {sorted(bad)[:20]}",
+                      file=__import__("sys").stderr)
+            done -= bad
+    else:
+        done = set()
+        # re-running into a committed out_dir without resume would append
+        # duplicate lineage rows (double-counted downstream) and silently
+        # overwrite part files — fail fast instead (ADVICE r01)
+        if read_lineage(spark, out_dir) is not None:
+            raise FileExistsError(
+                f"{out_dir} already has lineage; pass resume=True to "
+                "continue it, or clear the directory for a fresh encode")
     attempt = uuid.uuid4().hex[:12]
     print(f"[encode] plan: {time.time() - t_plan0:.1f}s "
           f"(num_parts={num_parts})", file=sys.stderr)
@@ -312,13 +331,12 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             sub = sub.filter(~F.col("part_id").isin(
                 [p for p in range(lo, min(hi, num_parts)) if p in done]))
         t_b0 = time.time()
-        if os.environ.get("SKAR_GROUPED", "1") == "1":
-            footers = sub.groupBy("part_id").applyInArrow(
-                _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
-        else:
-            footers = (sub.repartition(
-                min(4096, max(cores * 2, len(batch_ids))), F.col("part_id"))
-                .mapInArrow(_encode_task(out_dir, cfg, attempt), FOOTER_DDL))
+        # grouped applyInArrow, not repartition+mapInArrow: measured on the
+        # 4x8-executor standalone cluster at 1M docs — grouped 54.0s vs
+        # mapInArrow 63.4s (the JVM-side group sort is cheaper than the
+        # extra Arrow split/take pass the map path needs)
+        footers = sub.groupBy("part_id").applyInArrow(
+            _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
               f"({len(batch_ids)} parts)", file=sys.stderr)
@@ -327,6 +345,8 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
                    prev_coalesce)
-    lin = read_lineage(spark, out_dir)
+    if host_counts is not None:
+        host_counts.unpersist()
+    lin = read_lineage(spark, out_dir, latest=True)
     assert lin is not None, "encode produced no lineage"
     return lin

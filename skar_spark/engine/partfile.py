@@ -110,6 +110,15 @@ def write_part_file(path: str, table: pa.Table,
                 hsl = sl[hname]
                 rg["hmin"] = hsl[0].as_py()
                 rg["hmax"] = hsl[-1].as_py()
+                if rg["hmin"] != rg["hmax"]:
+                    # host-mixed row group: min/max alone can't skip a
+                    # probe between them — add a per-row-group host bloom
+                    # (mirror of the reference's per-row-group blooms,
+                    # build_parquet_idx.rs:96-115,149-152). Single-host
+                    # groups skip the bloom: min==max is exact already.
+                    import base64
+                    rg["hbloom"] = base64.b64encode(partition_host_bloom(
+                        hsl, cfg.bloom_bits_per_key)).decode()
             rowgroups.append(rg)
             if n == 0:
                 break
@@ -149,17 +158,49 @@ def read_footer(path: str) -> dict:
         return json.loads(f.read(flen))
 
 
+HOST_RE_ARROW = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/?#]*)"
+
+
+def _derive_host(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized host extraction from url (Arrow kernel, no per-row
+    Python) — the read-side twin of encode.with_host."""
+    import pyarrow.compute as pc
+    st = pc.extract_regex(urls, HOST_RE_ARROW)
+    comb = st.combine_chunks() if isinstance(st, pa.ChunkedArray) else st
+    return comb.field("host")
+
+
 def read_part_file(path: str, columns: list[str] | None = None,
                    host_eq: str | None = None,
-                   ts_range: tuple[int, int] | None = None) -> pa.Table:
-    """Decode a part file with projection + zone-map row-group pruning.
+                   ts_range: tuple[int, int] | None = None,
+                   exact: bool = True) -> pa.Table:
+    """Decode a part file with projection + row-group pruning + (by
+    default) EXACT predicate semantics.
 
     ts_range is [lo, hi) in epoch microseconds against the zone column.
+    Row groups are skipped via zone maps (min/max warc_ts, host range) and
+    per-row-group host blooms; surviving row groups are then post-filtered
+    exactly (host derived from url Arrow-side, ts compared as int64), so
+    callers get precisely the rows matching the predicate — not a
+    row-group superset. Pass exact=False for prune-only semantics.
     Mirror of the reference's projected, row-group-selective parquet scan
     (data_provider.rs:121-183, skip logic :250-333).
     """
+    import base64
+
+    import pyarrow.compute as pc
+
+    from skar_spark.engine.bloom import bloom_might_contain
+
     footer = read_footer(path)
     cols = columns or footer["columns"]
+    need_host = exact and host_eq is not None
+    need_ts = exact and ts_range is not None
+    read_cols = list(cols)
+    if need_host and "url" not in read_cols:
+        read_cols.append("url")
+    if need_ts and "warc_ts" not in read_cols:
+        read_cols.append("warc_ts")
     tables = []
     with open(path, "rb") as f:
         for rg in footer["rowgroups"]:
@@ -169,8 +210,11 @@ def read_part_file(path: str, columns: list[str] | None = None,
             if host_eq is not None and "hmin" in rg:
                 if not (rg["hmin"] <= host_eq <= rg["hmax"]):
                     continue
+                if "hbloom" in rg and not bloom_might_contain(
+                        base64.b64decode(rg["hbloom"]), host_eq):
+                    continue
             arrays, names = [], []
-            for c in cols:
+            for c in read_cols:
                 off, ln, _codec = rg["chunks"][c]
                 f.seek(off)
                 arrays.append(decode_array(f.read(ln)))
@@ -180,7 +224,19 @@ def read_part_file(path: str, columns: list[str] | None = None,
         schema = pa.schema([(c, type_from_code(footer["schema"][c]))
                             for c in cols])
         return pa.table({c: pa.array([], schema.field(c).type) for c in cols})
-    return pa.concat_tables(tables)
+    t = pa.concat_tables(tables)
+    mask = None
+    if need_host:
+        mask = pc.equal(_derive_host(t["url"]), pa.scalar(host_eq))
+    if need_ts:
+        ts = t["warc_ts"].cast(pa.int64())
+        m2 = pc.and_(
+            pc.greater_equal(ts, pa.scalar(ts_range[0], pa.int64())),
+            pc.less(ts, pa.scalar(ts_range[1], pa.int64())))
+        mask = m2 if mask is None else pc.and_(mask, m2)
+    if mask is not None:
+        t = t.filter(mask)
+    return t.select(cols)
 
 
 def partition_checksum(table: pa.Table) -> bytes:

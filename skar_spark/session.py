@@ -8,7 +8,15 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(cpus: int | None = None, app: str = "skar_spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
+    """`master=None` → local[cpus]. A spark:// URL (or SKAR_MASTER env)
+    targets a standalone cluster — the north-rule deployment shape
+    (spark-submit --py-files at N and 4N executors); `cpus` then means
+    the total executor cores the app should see (shuffle sizing only).
+    """
+    if master is None:
+        master = os.environ.get("SKAR_MASTER") or None
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -21,7 +29,7 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
     mem = os.environ.get("SKAR_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,6 +42,7 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
                 f"-Xms{mem} -XX:+AlwaysPreTouch")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
@@ -48,6 +57,13 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
         .config("spark.local.dir",
                 os.environ.get("SKAR_LOCAL_DIR", "/tmp/skar-spark-local"))
     )
+    if master and master.startswith("spark://"):
+        exec_mem = os.environ.get("SKAR_EXECUTOR_MEM", "20g")
+        b = (b.config("spark.executor.memory", exec_mem)
+              .config("spark.executor.extraJavaOptions",
+                      f"-Xms{exec_mem} -XX:+AlwaysPreTouch")
+              .config("spark.driver.host",
+                      os.environ.get("SPARK_LOCAL_IP", "127.0.0.1")))
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

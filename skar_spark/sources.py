@@ -7,22 +7,60 @@ format:
     from skar_spark.sources import register
     register(spark)
     df = spark.read.format("skar").load(out_dir)
-    df = (spark.read.format("skar")
-          .option("columns", "url,lang")          # projection
-          .option("host_eq", "www.example.com")   # bloom + zone pruning
-          .option("ts_lo", "1704067200000000")    # [lo, hi) epoch-us
-          .option("ts_hi", "1704153600000000")
-          .load(out_dir))
+    df.filter(F.col("host") == "www.example.com")        # pushed down
+    df.filter(F.col("warc_ts") >= "2024-03-01")          # pushed down
+    df.filter(F.col("url") == "https://a.com/x")         # prunes via host
 
-One input partition per part file; partition pruning (lineage zone maps
-+ host blooms) happens at planning time on the driver — the mirror of
-the reference's folder-index seek (skar/src/db/mod.rs:217-305); row-group
-pruning happens inside each task against the part-file footer.
+Filter pushdown is automatic (`pushFilters`): equality on the derived
+`host` column and range bounds on `warc_ts` are absorbed by the engine —
+partition pruning via the lineage index (zone maps + host blooms,
+executor-side probe), row-group pruning + EXACT residual filtering inside
+each read task. Equality on `url` additionally prunes via the host bloom
+(the filter itself is left for Spark to evaluate). This is the mirror of
+the reference's automatic constant pushdown through folder + row-group
+pruning (skar/src/query/handler.rs:144-158, data_provider.rs:185-333).
+
+Explicit `.option("host_eq"/"ts_lo"/"ts_hi"/"columns", ...)` remain as
+manual overrides with the same exact semantics.
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+import datetime as _dt
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+TS_MIN = -(1 << 62)
+TS_MAX = 1 << 62
+
+
+def _to_us(v) -> int:
+    """Literal timestamp → epoch microseconds (session tz is UTC)."""
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, _dt.date):
+        return int(_dt.datetime(v.year, v.month, v.day,
+                                tzinfo=_dt.timezone.utc).timestamp()
+                   * 1_000_000)
+    return int(v)
+
+
+def _host_of_url(url: str) -> str | None:
+    import re
+    m = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", url)
+    return m.group(1) if m else None
 
 
 class SkarPartition(InputPartition):
@@ -49,8 +87,14 @@ class SkarDataSource(DataSource):
             raise FileNotFoundError(
                 f"no part files under {self.options['path']}")
         footer = read_footer(files[0])
-        return spark_ddl_for(footer["schema"],
-                             self._cols() or footer["columns"])
+        cols = self._cols() or footer["columns"] + ["host"]
+        stored = [c for c in cols if c != "host"]
+        ddl = spark_ddl_for(footer["schema"], stored)
+        if "host" in cols:
+            parts = ([p.strip() for p in ddl.split(",")] if ddl else [])
+            parts.insert(cols.index("host"), "host string")
+            ddl = ", ".join(parts)
+        return ddl
 
     def reader(self, schema) -> "SkarReader":
         return SkarReader(self.options, self._cols())
@@ -62,29 +106,86 @@ class SkarReader(DataSourceReader):
         self.cols = cols
         self.host_eq = options.get("host_eq")
         lo, hi = options.get("ts_lo"), options.get("ts_hi")
-        self.ts_range = (int(lo), int(hi)) if lo and hi else None
-        # plan-time partition pruning via the lineage index (driver side)
-        from skar_spark.engine.decode import prune_partitions
-        from pyspark.sql import SparkSession
-        spark = SparkSession.getActiveSession()
-        if spark is not None and (self.host_eq or self.ts_range):
-            self.files = prune_partitions(spark, self.path,
-                                          host_eq=self.host_eq,
-                                          ts_range=self.ts_range)
-        else:
-            from skar_spark.engine.decode import list_part_files
-            self.files = list_part_files(self.path)
+        self.ts_lo = int(lo) if lo else None
+        self.ts_hi = int(hi) if hi else None
+        self.prune_hosts: list[str] = []  # prune-only (url equality)
+
+    # -- filter pushdown (planning time, driver side) ------------------
+    def pushFilters(self, filters):
+        """Absorb host equality and warc_ts bounds; everything yielded
+        back is still evaluated by Spark. Absorbed filters are applied
+        EXACTLY inside read tasks (read_part_file exact=True), on top of
+        partition + row-group pruning."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("host",) \
+                    and self.host_eq in (None, f.value):
+                self.host_eq = f.value
+            elif isinstance(f, In) and f.attribute == ("host",):
+                self.prune_hosts.extend(
+                    v for v in f.value if isinstance(v, str))
+                yield f  # prune-only: Spark applies the IN itself
+            elif isinstance(f, EqualTo) and f.attribute == ("url",) \
+                    and isinstance(f.value, str):
+                h = _host_of_url(f.value)
+                if h:
+                    self.prune_hosts.append(h)
+                yield f  # prune-only: Spark still applies the url match
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) \
+                    and f.attribute == ("warc_ts",):
+                us = _to_us(f.value) + (1 if isinstance(f, GreaterThan)
+                                        else 0)
+                self.ts_lo = us if self.ts_lo is None \
+                    else max(self.ts_lo, us)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) \
+                    and f.attribute == ("warc_ts",):
+                us = _to_us(f.value) + (1 if isinstance(f, LessThanOrEqual)
+                                        else 0)
+                self.ts_hi = us if self.ts_hi is None \
+                    else min(self.ts_hi, us)
+            else:
+                yield f
+
+    def _ts_range(self):
+        if self.ts_lo is None and self.ts_hi is None:
+            return None
+        return (self.ts_lo if self.ts_lo is not None else TS_MIN,
+                self.ts_hi if self.ts_hi is not None else TS_MAX)
 
     def partitions(self):
-        return [SkarPartition(f) for f in self.files]
+        # planning runs in a Python worker with no SparkSession — prune
+        # via the streaming single-process index seek instead
+        from skar_spark.engine.decode import prune_partitions_local
+
+        files = prune_partitions_local(
+            self.path, host_eq=self.host_eq, ts_range=self._ts_range(),
+            any_hosts=self.prune_hosts or None)
+        return [SkarPartition(f) for f in files]
 
     def read(self, partition: SkarPartition):
-        from skar_spark.engine.partfile import read_part_file
+        from skar_spark.engine.partfile import (
+            _derive_host,
+            read_footer,
+            read_part_file,
+        )
 
-        t = read_part_file(partition.path, columns=self.cols,
-                           host_eq=self.host_eq, ts_range=self.ts_range)
+        if partition is None:  # Spark's placeholder when no partitions
+            return
+        want = self.cols
+        if want is None:
+            want = read_footer(partition.path)["columns"] + ["host"]
+        stored = [c for c in want if c != "host"]
+        inner = list(stored)
+        if "host" in want and "url" not in inner:
+            inner.append("url")
+        t = read_part_file(partition.path, columns=inner,
+                           host_eq=self.host_eq, ts_range=self._ts_range())
+        if "host" in want:
+            t = t.append_column("host", _derive_host(t["url"]))
+        t = t.select(want)
         yield from t.to_batches(max_chunksize=16384)
 
 
 def register(spark) -> None:
+    # pushFilters() requires the (default-off) Python-source pushdown flag
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SkarDataSource)

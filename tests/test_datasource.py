@@ -25,7 +25,56 @@ def encoded(spark, tmp_path_factory):
 def test_full_read(spark, encoded):
     df = spark.read.format("skar").load(encoded)
     assert df.count() == 4_000
-    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang"}
+    assert set(df.columns) == {"url", "warc_ts", "html", "text", "lang",
+                               "host"}
+    # derived host column matches the url
+    bad = df.filter(~F.col("url").contains(F.col("host"))).count()
+    assert bad == 0
+
+
+def _some_host(spark, encoded):
+    df = spark.read.format("skar").load(encoded)
+    return df.groupBy("host").count().orderBy("count").first()["host"]
+
+
+def test_filter_pushdown_host_prunes_partitions(spark, encoded):
+    """A plain .filter(col('host') == x) must prune partitions at plan
+    time (the automatic constant pushdown of handler.rs:144-158) and
+    return exactly the matching rows."""
+    h = _some_host(spark, encoded)
+    df = spark.read.format("skar").load(encoded)
+    full_parts = df.rdd.getNumPartitions()
+    filtered = df.filter(F.col("host") == h)
+    assert filtered.rdd.getNumPartitions() < full_parts
+    want = df.filter(F.col("host") == h).count()
+    assert filtered.count() == want > 0
+    # exactness end-to-end vs source-of-truth
+    src = synth_documents(spark, 4_000, partitions=8)
+    src_n = src.filter(
+        F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$", 1)
+        == h).count()
+    assert filtered.count() == src_n
+
+
+def test_filter_pushdown_ts_range(spark, encoded):
+    lo = T0_US + 500 * 1_000_000
+    hi = T0_US + 1_500 * 1_000_000
+    df = spark.read.format("skar").load(encoded)
+    filtered = df.filter(
+        (F.unix_micros("warc_ts") >= lo) & (F.unix_micros("warc_ts") < hi))
+    pushed = df.filter(
+        (F.col("warc_ts") >= F.timestamp_micros(F.lit(lo)))
+        & (F.col("warc_ts") < F.timestamp_micros(F.lit(hi))))
+    assert pushed.count() == filtered.count() > 0
+
+
+def test_filter_pushdown_url_point_lookup(spark, encoded):
+    df = spark.read.format("skar").load(encoded)
+    url = df.select("url").first()["url"]
+    full_parts = df.rdd.getNumPartitions()
+    hit = df.filter(F.col("url") == url)
+    assert hit.count() == 1
+    assert hit.rdd.getNumPartitions() < full_parts
 
 
 def test_projection(spark, encoded):

@@ -1,0 +1,165 @@
+"""Verify-on-read, verify-on-resume, per-disjunct pruning, and
+row-group host blooms.
+
+Mirrors of the reference's post-write validation
+(skar/src/validate_parquet.rs:17-66 invoked at skar_runner.rs:309-312),
+per-disjunct query pruning (query/handler.rs:187-250), and per-row-group
+blooms (build_parquet_idx.rs:96-115,149-152).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from skar_spark.config import EngineConfig
+from skar_spark.engine.decode import (
+    list_part_files,
+    prune_partitions,
+    prune_partitions_local,
+    prune_selections,
+    scan,
+    validate_output,
+)
+from skar_spark.engine.encode import encode_documents, read_lineage
+from skar_spark.synth import T0_US, synth_documents
+
+pytestmark = pytest.mark.spark
+
+N_DOCS = 5_000
+CFG = EngineConfig(target_partition_rows=1_000, max_row_group_size=400,
+                   salt_threshold_rows=900)
+
+
+@pytest.fixture()
+def encoded(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = synth_documents(spark, N_DOCS, partitions=8)
+    encode_documents(spark, docs, out, CFG, n_rows=N_DOCS)
+    return out
+
+
+def _corrupt_one(out: str) -> str:
+    victim = list_part_files(out)[1]
+    size = os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.seek(size // 3)
+        f.write(b"\xde\xad\xbe\xef" * 16)
+    return victim
+
+
+def test_validate_output_clean(spark, encoded):
+    res = validate_output(spark, encoded)
+    rows = res.collect()
+    assert len(rows) == len(list_part_files(encoded))
+    assert all(r.ok for r in rows)
+
+
+def test_validate_output_flags_corruption(spark, encoded):
+    victim = _corrupt_one(encoded)
+    res = {r.file: r for r in validate_output(spark, encoded).collect()}
+    assert not res[victim].ok
+    assert res[victim].error is not None
+    assert all(r.ok for f, r in res.items() if f != victim)
+
+
+def test_resume_verify_reencodes_corrupt_part(spark, tmp_path):
+    out = str(tmp_path / "out")
+    docs = synth_documents(spark, N_DOCS, partitions=8)
+    encode_documents(spark, docs, out, CFG, n_rows=N_DOCS)
+    victim = _corrupt_one(out)
+
+    lin = encode_documents(spark, docs, out, CFG, n_rows=N_DOCS,
+                           resume=True, verify=True)
+    # the corrupt part was re-encoded: validation is clean again and the
+    # decoded content matches the source exactly
+    assert all(r.ok for r in validate_output(spark, out).collect())
+    back = scan(spark, out).select("url", "text")
+    src = docs.select("url", "text")
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+    # lineage (latest view) still has exactly one row per partition
+    n_parts = len(list_part_files(out))
+    assert lin.count() == n_parts
+    # the victim's superseding row has a fresh attempt
+    raw = read_lineage(spark, out)
+    assert raw.count() == n_parts + 1
+    assert raw.filter(F.col("file") == victim).count() == 2
+
+
+def test_prune_selections_per_disjunct(spark, encoded):
+    """Two disjuncts, each matching a different narrow slice: partitions
+    that each selection alone would miss are dropped per-disjunct, and a
+    partition surviving only one disjunct lists only that one."""
+    lin = read_lineage(spark, encoded, latest=True).collect()
+    files = list_part_files(encoded)
+    # disjunct 0: a real host from partition 0; disjunct 1: impossible
+    first = scan(spark, encoded, columns=["url"]).first()["url"]
+    import re
+    host = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", first).group(1)
+    sels = [
+        {"hosts": [host], "ts_range": None},
+        {"hosts": ["no-such-host.invalid"], "ts_range": None},
+    ]
+    kept = prune_selections(spark, encoded, sels)
+    assert 0 < len(kept) < len(files) + 1
+    for f, idxs in kept.items():
+        assert 0 in idxs          # only disjunct 0 can survive
+        assert 1 not in idxs
+    # an impossible pair of disjuncts prunes everything
+    kept_none = prune_selections(spark, encoded, [
+        {"hosts": ["no-such-host.invalid"], "ts_range": None},
+        {"hosts": None, "ts_range": (0, 1000)},
+    ])
+    assert kept_none == {}
+
+
+def test_distributed_and_local_pruning_agree(spark, encoded):
+    ts = (T0_US + 200 * 1_000_000, T0_US + 2_000 * 1_000_000)
+    first = scan(spark, encoded, columns=["url"]).first()["url"]
+    import re
+    host = re.match(r"^[a-z][a-z0-9+.-]*://([^/?#]*)", first).group(1)
+    for kwargs in ({"host_eq": host}, {"ts_range": ts},
+                   {"host_eq": host, "ts_range": ts},
+                   {"host_eq": "no-such-host.invalid"}):
+        dist = prune_partitions(spark, encoded, **kwargs)
+        loc = prune_partitions_local(encoded, **kwargs)
+        assert dist == loc
+    assert prune_partitions_local(
+        encoded, host_eq="no-such-host.invalid") == []
+
+
+def test_rowgroup_host_bloom_prunes(spark, tmp_path):
+    """A host-mixed row group whose (hmin, hmax) range covers a probe
+    host that is NOT present: min/max alone can't skip it, the per-rg
+    bloom can. Checked via read_part_file returning zero rows without
+    decoding any chunk for a between-range miss."""
+    import pyarrow as pa
+
+    from skar_spark.engine.partfile import (
+        read_footer,
+        read_part_file,
+        write_part_file,
+    )
+
+    hosts = ["a.com"] * 30 + ["m.com"] * 30 + ["z.com"] * 40
+    t = pa.table({
+        "url": [f"https://{h}/p{i}" for i, h in enumerate(hosts)],
+        "warc_ts": pa.array([T0_US + i * 1_000_000 for i in range(100)],
+                            pa.timestamp("us")),
+        "text": [f"text {i}" for i in range(100)],
+        "_host": hosts,
+    })
+    path = str(tmp_path / "part-000000.skar")
+    cfg = EngineConfig(max_row_group_size=100)  # one mixed row group
+    write_part_file(path, t, cfg)
+    footer = read_footer(path)
+    assert len(footer["rowgroups"]) == 1
+    rg = footer["rowgroups"][0]
+    assert rg["hmin"] == "a.com" and rg["hmax"] == "z.com"
+    assert "hbloom" in rg
+    # "b.com" is inside [a.com, z.com] but absent → bloom prunes the rg
+    miss = read_part_file(path, columns=["url"], host_eq="b.com")
+    assert miss.num_rows == 0
+    hit = read_part_file(path, columns=["url"], host_eq="m.com")
+    assert hit.num_rows == 30
