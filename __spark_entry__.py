@@ -94,7 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SQL_SIMHASH,
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "cosine_topk": dedup.SQL_COSINE_TOPK,
-        "ann_lsh": dedup.SQL_ANN_LSH,
+        "ann_lsh": dedup.sql_ann_lsh(),
         # encode_roundtrip / engine_scan_pruned: custom storage format,
         # intentionally no SQL oracle (driver rows-only check)
     }

@@ -75,23 +75,23 @@ FROM documents
 # --- LSH candidate pairs (banded minhash → equi-join on band key) -------------
 
 def q_lsh_pairs(spark, sf):
+    """Banded-minhash candidate pairs via ONE equi-join: bands are
+    exploded into (band_pos, band_key) rows so a single self-join covers
+    every band (no per-band join branches, no cached intermediate to
+    leak — the round-1 cache never unpersisted, ADVICE r01)."""
     sig = q_minhash(spark, sf)
-    # cache: the banded signatures feed 4 self-join branches (2 bands × 2
-    # sides); without it Spark recomputes the minhash transform per branch
     banded = sig.select(
         "doc_id",
-        F.concat_ws(":", F.col("mh0").cast("string"),
-                    F.col("mh1").cast("string")).alias("band0"),
-        F.concat_ws(":", F.col("mh2").cast("string"),
-                    F.col("mh3").cast("string")).alias("band1")).cache()
-    pairs = None
-    for b in ("band0", "band1"):
-        l = banded.select(F.col("doc_id").alias("a"), F.col(b).alias("k"))
-        r = banded.select(F.col("doc_id").alias("b_"), F.col(b).alias("k"))
-        p = (l.join(r, "k").filter(F.col("a") < F.col("b_"))
-             .select("a", F.col("b_").alias("b")))
-        pairs = p if pairs is None else pairs.unionAll(p)
-    return pairs.distinct()
+        F.posexplode(F.array(
+            F.concat_ws(":", F.col("mh0").cast("string"),
+                        F.col("mh1").cast("string")),
+            F.concat_ws(":", F.col("mh2").cast("string"),
+                        F.col("mh3").cast("string"))))
+        .alias("bpos", "bkey"))
+    l = banded.select(F.col("doc_id").alias("a"), "bpos", "bkey")
+    r = banded.select(F.col("doc_id").alias("b"), "bpos", "bkey")
+    return (l.join(r, ["bpos", "bkey"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
 
 
 def _sql_band_cte() -> str:
@@ -158,43 +158,97 @@ SELECT doc_id,
 FROM documents
 """
 
-# --- n-gram jaccard pairs (char 4-grams, same-lang candidates) ----------------
+# --- n-gram jaccard pairs (word-shingle LSH candidates, char-4-gram verify) ---
+#
+# The classic MinHash-LSH dedup pipeline: candidates come from banded
+# WORD-shingle minhash (selective — unrelated docs share almost no 3-word
+# shingles, so band buckets are near-dup-sized), then exact char-4-gram
+# Jaccard verifies each candidate. Two earlier designs were scale-killers
+# and are deliberately NOT used:
+#   - join on `lang` (round 1): 40-value key, 55% skew into `en` →
+#     O(n²)-within-language (VERDICT r01);
+#   - banding the char-gram minhash itself: common grams ("the ", " and")
+#     dominate the salted minimum, so most same-language docs share band
+#     keys — measured 62k candidates from 500 docs (half the cross
+#     product). Word shingles give 28 candidates on the same corpus.
+# No join key here has a group count that grows with corpus size (short
+# docs with <3 words are excluded from candidacy rather than colliding in
+# a degenerate empty-shingle bucket).
 
-def q_ngram_jaccard(spark, sf):
-    d = load(spark, sf, "documents").select("doc_id", "lang", "text")
-    grams = F.array_distinct(F.when(
+_NGJ_THRESHOLD = 0.35
+
+
+def _grams_col():
+    return F.array_distinct(F.when(
         F.length("text") >= 4,
         F.transform(F.sequence(F.lit(1), F.length("text") - 3),
                     lambda i: F.col("text").substr(i, F.lit(4)))
     ).otherwise(F.array().cast("array<string>")))
-    g = d.select("doc_id", "lang", grams.alias("grams"))
-    a = g.select(F.col("doc_id").alias("a"), F.col("lang"),
-                 F.col("grams").alias("ga"))
-    b = g.select(F.col("doc_id").alias("b"), F.col("lang"),
-                 F.col("grams").alias("gb"))
-    pairs = (a.join(b, "lang").filter(F.col("a") < F.col("b"))
-             .filter(F.abs(F.size("ga") - F.size("gb")) <= 5))
+
+
+def q_ngram_jaccard(spark, sf):
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    # candidate generation: the same banded word-shingle minhash as
+    # q_lsh_pairs, restricted to docs with >= 3 words (non-empty shingles)
+    staged = (d.select("doc_id", "text", _tokens(F.col("text")).alias("_toks"))
+              .filter(F.size("_toks") >= 3)
+              .select("doc_id", "text", _shingles(F.col("_toks")).alias("_sh")))
+    sig = staged.select(
+        "doc_id", *[_minhash_col(F.col("_sh"), j).alias(f"mh{j}")
+                    for j in range(_N_HASHES)])
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(
+            F.concat_ws(":", F.col("mh0").cast("string"),
+                        F.col("mh1").cast("string")),
+            F.concat_ws(":", F.col("mh2").cast("string"),
+                        F.col("mh3").cast("string"))))
+        .alias("bpos", "bkey"))
+    l = banded.select(F.col("doc_id").alias("a"), "bpos", "bkey")
+    r = banded.select(F.col("doc_id").alias("b"), "bpos", "bkey")
+    cand = (l.join(r, ["bpos", "bkey"]).filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    # exact char-4-gram Jaccard verification on candidates only
+    g = d.select("doc_id", _grams_col().alias("grams"))
+    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    pairs = cand.join(ga, "a").join(gb, "b")
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
     jac = F.round(inter.cast("double") / union, 4)
     return (pairs.select("a", "b", jac.alias("jaccard"))
-            .filter(F.col("jaccard") >= 0.35))
+            .filter(F.col("jaccard") >= _NGJ_THRESHOLD))
 
 
 _SQL_GRAMS = ("list_distinct(CASE WHEN length(text) >= 4 THEN "
               "list_transform(range(1, length(text) - 2), "
               "i -> substr(text, i, 4)) ELSE [] END)")
 
+_SQL_NWORDS = r"array_length(regexp_split_to_array(trim(text), '\s+'))"
+
 SQL_NGRAM_JACCARD = f"""
-WITH g AS (SELECT doc_id, lang, {_SQL_GRAMS} AS grams FROM documents)
+WITH sig AS (
+  SELECT doc_id, {', '.join(f'{_sql_minhash(j)} AS mh{j}'
+                            for j in range(_N_HASHES))}
+  FROM documents WHERE {_SQL_NWORDS} >= 3),
+banded AS (
+  SELECT doc_id, 0 AS bpos, concat(CAST(mh0 AS VARCHAR), ':',
+                                   CAST(mh1 AS VARCHAR)) AS bkey FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS bpos, concat(CAST(mh2 AS VARCHAR), ':',
+                                   CAST(mh3 AS VARCHAR)) AS bkey FROM sig),
+cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         FROM banded l JOIN banded r
+           ON l.bpos = r.bpos AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+g AS (SELECT doc_id, {_SQL_GRAMS} AS grams FROM documents)
 SELECT a, b, jaccard FROM (
-  SELECT l.doc_id AS a, r.doc_id AS b,
-         round(CAST(array_length(list_intersect(l.grams, r.grams)) AS DOUBLE)
-               / array_length(list_distinct(list_concat(l.grams, r.grams))), 4)
-             AS jaccard
-  FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
-  WHERE abs(array_length(l.grams) - array_length(r.grams)) <= 5) t
-WHERE jaccard >= 0.35
+  SELECT a, b,
+         round(CAST(array_length(list_intersect(ga.grams, gb.grams)) AS DOUBLE)
+               / array_length(list_distinct(list_concat(ga.grams, gb.grams))),
+               4) AS jaccard
+  FROM cand JOIN g ga ON ga.doc_id = cand.a
+            JOIN g gb ON gb.doc_id = cand.b) t
+WHERE jaccard >= {_NGJ_THRESHOLD}
 """
 
 # --- embedding cosine top-k (brute force baseline) -----------------------------
@@ -249,44 +303,93 @@ WHERE rk <= {_TOPK}
 #
 # Brute-force cosine (q_cosine_topk) is the correctness baseline; at scale
 # the cross join is quadratic. This variant buckets vectors by the sign
-# pattern of K deterministic pseudo-random hyperplanes (SimHash-for-vectors)
-# and only scores candidates sharing a bucket — the shuffle is an equi-join
-# on the bucket key. Hyperplane components are ±1 derived from the portable
-# md5-60bit hash so the DuckDB oracle reproduces them exactly.
+# pattern of deterministic pseudo-random hyperplanes (SimHash-for-vectors)
+# across SEVERAL independent hash tables and only scores candidates
+# sharing a (table, bucket) — the shuffle is an equi-join on that key.
+#
+# Scale parameterization (VERDICT r01 asked for planes = f(n)):
+#   planes/table = clamp(4..20, ceil(log2(n / TARGET_BUCKET))) — bucket
+#     population stays ~TARGET_BUCKET as n grows, so candidate volume is
+#     O(n · TARGET_BUCKET · TABLES), linear in n, not n²/2^fixed;
+#   _ANN_TABLES independent tables union'd for recall (a pair is a
+#     candidate if ANY table collides);
+#   per-(table, bucket) cap with a LOGGED drop count — no silent caps.
+# Hyperplane signs are ±1 from md5 (computed once in Python, embedded as
+# literals in both engines) so the DuckDB oracle reproduces them exactly.
 
-_ANN_PLANES = 6
 _DIM = 64
 _ANN_MIN_COS = 0.2
+_ANN_TARGET_BUCKET = 32
+_ANN_TABLES = 4
+_ANN_BUCKET_CAP = 512
 
 
-def _plane_sign(k: int, i: int):
-    # deterministic ±1 for hyperplane k, dimension i (portable)
-    return F.when(
-        F.conv(F.substring(F.md5(F.lit(f"plane-{k}-{i}")), 1, 15), 16, 10)
-        .cast("long") % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def n_planes(n: int) -> int:
+    """Planes per hash table as a function of corpus size: bucket
+    population ≈ _ANN_TARGET_BUCKET regardless of n."""
+    import math
+    if n <= _ANN_TARGET_BUCKET:
+        return 4
+    return min(20, max(4, math.ceil(math.log2(n / _ANN_TARGET_BUCKET))))
+
+
+def _plane_signs(k: int) -> list[float]:
+    """Deterministic ±1 row for global hyperplane k — identical to what
+    the portable md5-60bit hash yields in SQL (h60('plane-k-i') % 2)."""
+    import hashlib
+    out = []
+    for i in range(_DIM):
+        h = int(hashlib.md5(f"plane-{k}-{i}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if h % 2 == 0 else -1.0)
+    return out
+
+
+def _bucket_expr(table: int, planes: int):
+    """Bucket id for one hash table: sign bits of `planes` hyperplane
+    dot products (JVM-side zip_with over a literal sign array)."""
+    bits = []
+    for k in range(planes):
+        signs = F.array(*[F.lit(s)
+                          for s in _plane_signs(table * planes + k)])
+        dot = F.aggregate(F.zip_with("v", signs, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit(1 << k)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0])
 
 
 def q_ann_lsh(spark, sf):
     from pyspark.sql import Window
     e = load(spark, sf, "embeddings")
+    n = e.count()
+    planes = n_planes(n)
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
 
-    bucket_bits = []
-    for k in range(_ANN_PLANES):
-        dot_k = None
-        for i in range(_DIM):
-            term = F.element_at("v", i + 1) * _plane_sign(k, i)
-            dot_k = term if dot_k is None else dot_k + term
-        bucket_bits.append(F.when(dot_k > 0, F.lit(1 << k)).otherwise(F.lit(0)))
-    bucket = sum(bucket_bits[1:], bucket_bits[0]).alias("bucket")
-    b = base.select("vec_id", "v", bucket)
+    bucketed = None
+    for t in range(_ANN_TABLES):
+        bt = base.select("vec_id", "v", F.lit(t).alias("tbl"),
+                         _bucket_expr(t, planes).alias("bucket"))
+        bucketed = bt if bucketed is None else bucketed.unionAll(bt)
 
-    l = b.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
-                 F.col("bucket"))
-    r = b.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
-                 F.col("bucket"))
-    cand = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    # per-bucket cap, deterministic (vec_id order) and mirrored in the
+    # oracle; dropped rows are counted and logged — never silent
+    w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
+    capped = (bucketed.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
+    dropped = (bucketed.groupBy("tbl", "bucket").count()
+               .agg(F.sum(F.greatest(F.col("count") - _ANN_BUCKET_CAP,
+                                     F.lit(0))).alias("d"))
+               .collect()[0].d or 0)
+    if dropped:
+        import sys
+        print(f"[ann_lsh] bucket cap {_ANN_BUCKET_CAP} dropped {dropped} "
+              f"of {n * _ANN_TABLES} table entries", file=sys.stderr)
+
+    l = capped.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
+                      "tbl", "bucket")
+    r = capped.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"),
+                      "tbl", "bucket")
+    cand = l.join(r, ["tbl", "bucket"]).filter(F.col("a") < F.col("b"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
@@ -294,41 +397,51 @@ def q_ann_lsh(spark, sf):
     out = cand.withColumn("cos", F.round(
         dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4))
     return (out.filter(F.col("cos") >= _ANN_MIN_COS)
-            .select("bucket", "a", "b", "cos"))
+            .select("a", "b", "cos").distinct())
 
 
-def _sql_plane_sign(k: int, i: int) -> str:
-    h = sql_h60(f"'plane-{k}-{i}'")
-    return f"CASE WHEN {h} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+def _sql_bucket_expr(table: int, planes: int) -> str:
+    bits = []
+    for k in range(planes):
+        arr = ", ".join(str(s) for s in _plane_signs(table * planes + k))
+        dot = (f"list_sum(list_transform(range(1, {_DIM} + 1), "
+               f"i -> v[i] * ([{arr}])[i]))")
+        bits.append(f"CASE WHEN {dot} > 0 THEN {1 << k} ELSE 0 END")
+    return " + ".join(bits)
 
 
-def _sql_ann() -> str:
-    buckets = []
-    for k in range(_ANN_PLANES):
-        terms = " + ".join(f"v[{i + 1}] * {_sql_plane_sign(k, i)}"
-                           for i in range(_DIM))
-        buckets.append(f"CASE WHEN ({terms}) > 0 THEN {1 << k} ELSE 0 END")
-    return " + ".join(buckets)
-
-
-SQL_ANN_LSH = f"""
+def sql_ann_lsh(n: int | None = None) -> str:
+    """DuckDB oracle for q_ann_lsh. `n` defaults to the sf0.01 embeddings
+    row count (the scale the driver compares at), read from parquet
+    metadata so the plane count matches the Spark side exactly."""
+    if n is None:
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    planes = n_planes(n)
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_sql_bucket_expr(t, planes)} "
+        f"AS bucket FROM base"
+        for t in range(_ANN_TABLES))
+    return f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
-bucketed AS (
-  SELECT vec_id, v, {_sql_ann()} AS bucket FROM base)
-SELECT l.bucket AS bucket, l.vec_id AS a, r.vec_id AS b,
-       round(
-         list_sum(list_transform(range(1, {_DIM} + 1),
-                                 i -> l.v[i] * r.v[i]))
-         / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS cos
-FROM bucketed l JOIN bucketed r
-  ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-WHERE round(
-         list_sum(list_transform(range(1, {_DIM} + 1),
-                                 i -> l.v[i] * r.v[i]))
-         / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
-            * sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4)
-      >= {_ANN_MIN_COS}
+bucketed AS ({tables}),
+capped AS (
+  SELECT vec_id, v, tbl, bucket FROM (
+    SELECT vec_id, v, tbl, bucket,
+           row_number() OVER (PARTITION BY tbl, bucket
+                              ORDER BY vec_id) AS rn
+    FROM bucketed) t WHERE rn <= {_ANN_BUCKET_CAP})
+SELECT DISTINCT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b,
+         round(
+           list_sum(list_transform(range(1, {_DIM} + 1),
+                                   i -> l.v[i] * r.v[i]))
+           / (sqrt(list_sum(list_transform(l.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(r.v, x -> x * x)))), 4) AS cos
+  FROM capped l JOIN capped r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id) t
+WHERE cos >= {_ANN_MIN_COS}
 """
