@@ -65,17 +65,21 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
-def _with_salt(df: DataFrame, cfg: EngineConfig,
-               host_counts: DataFrame | None = None) -> DataFrame:
-    """Heavy-host salting: exact host counts (map-side combinable agg),
-    broadcast the small heavy map, salt = xxhash64(url) mod n_salts.
-    `host_counts` lets the caller reuse an already-computed count pass."""
+def salt_map(df: DataFrame, cfg: EngineConfig,
+             host_counts: DataFrame | None = None) -> DataFrame:
+    """The heavy-host map (host → n_salts): exact host counts (map-side
+    combinable agg), kept only above the salt threshold. Small by
+    construction (broadcastable). Persisted by encode_documents so
+    late-data rollback can replan with IDENTICAL partition membership."""
     hc = host_counts if host_counts is not None \
         else df.groupBy("host").count()
-    heavy = (hc.filter(F.col("count") > cfg.salt_threshold_rows)
-             .select("host",
-                     F.ceil(F.col("count") / cfg.salt_threshold_rows)
-                     .cast("int").alias("n_salts")))
+    return (hc.filter(F.col("count") > cfg.salt_threshold_rows)
+            .select("host",
+                    F.ceil(F.col("count") / cfg.salt_threshold_rows)
+                    .cast("int").alias("n_salts")))
+
+
+def _apply_salt(df: DataFrame, heavy: DataFrame) -> DataFrame:
     df = df.join(F.broadcast(heavy), "host", "left")
     return df.withColumn(
         "salt",
@@ -84,9 +88,20 @@ def _with_salt(df: DataFrame, cfg: EngineConfig,
         .otherwise(F.lit(0)).cast("int")).drop("n_salts")
 
 
+def _with_salt(df: DataFrame, cfg: EngineConfig,
+               host_counts: DataFrame | None = None,
+               salt: DataFrame | None = None) -> DataFrame:
+    """Heavy-host salting; `salt` (a salt_map result) overrides the
+    computed map so replans are membership-stable."""
+    return _apply_salt(df, salt if salt is not None
+                       else salt_map(df, cfg, host_counts))
+
+
 def plan_partitions_day_hash(df: DataFrame, target_rows: int,
-                             cfg: EngineConfig = DEFAULT
-                             ) -> tuple[DataFrame, int]:
+                             cfg: EngineConfig = DEFAULT,
+                             fixed: tuple | None = None,
+                             salt: DataFrame | None = None
+                             ) -> tuple[DataFrame, int, tuple]:
     """Range × hash layout: part_id = (day(warc_ts) − min_day) · B +
     bucket(host, salt) — the Iceberg `days(warc_ts) × bucket(url)`
     layout from SURVEY §1.3 (mirror of skar's block-range folders,
@@ -99,29 +114,34 @@ def plan_partitions_day_hash(df: DataFrame, target_rows: int,
     out); at 10^12 docs it is metadata-cheap next to the main shuffle.
     """
     df = with_host(df)
-    stats = df.agg(
-        F.min(F.to_date("warc_ts")).alias("d0"),
-        F.max(F.to_date("warc_ts")).alias("d1"),
-        F.count("*").alias("n")).collect()[0]
-    n_days = (stats.d1 - stats.d0).days + 1
-    buckets = max(1, -(-int(stats.n) // n_days // target_rows))
-    num_parts = n_days * buckets
+    if fixed is not None:
+        d0, buckets, num_parts = fixed
+    else:
+        stats = df.agg(
+            F.min(F.to_date("warc_ts")).alias("d0"),
+            F.max(F.to_date("warc_ts")).alias("d1"),
+            F.count("*").alias("n")).collect()[0]
+        n_days = (stats.d1 - stats.d0).days + 1
+        buckets = max(1, -(-int(stats.n) // n_days // target_rows))
+        num_parts = n_days * buckets
+        d0 = stats.d0
     import dataclasses
     cfg = dataclasses.replace(
         cfg, salt_threshold_rows=min(cfg.salt_threshold_rows,
                                      max(500, target_rows // 2)))
-    df = _with_salt(df, cfg)
-    day_idx = F.datediff(F.to_date("warc_ts"), F.lit(stats.d0))
+    df = _with_salt(df, cfg, salt=salt)
+    day_idx = F.datediff(F.to_date("warc_ts"), F.lit(d0))
     return df.withColumn(
         "part_id",
         (day_idx * buckets
          + F.pmod(F.xxhash64("host", "salt"), F.lit(buckets)))
-        .cast("int")), num_parts
+        .cast("int")), num_parts, (d0, buckets, num_parts)
 
 
 def plan_partitions(df: DataFrame, num_parts: int,
                     cfg: EngineConfig = DEFAULT,
-                    host_counts: DataFrame | None = None) -> DataFrame:
+                    host_counts: DataFrame | None = None,
+                    salt: DataFrame | None = None) -> DataFrame:
     """Attach deterministic `part_id` with heavy-host salting.
 
     Two-phase: (1) exact host counts (map-side combinable agg; cheap —
@@ -129,15 +149,17 @@ def plan_partitions(df: DataFrame, num_parts: int,
     threshold; (2) broadcast-join that small map and compute
     salt = xxhash64(url) mod n_salts for heavy hosts, 0 otherwise.
     """
-    df = _with_salt(with_host(df), cfg, host_counts)
+    df = _with_salt(with_host(df), cfg, host_counts, salt)
     return df.withColumn(
         "part_id",
         F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
 
 
-def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
+def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
+                   name_fmt: str = "part-{pid:06d}.skar"):
     """Per-partition kernel: one part_id's table in, one footer row out.
-    All columnar — no per-row Python."""
+    All columnar — no per-row Python. `name_fmt` lets streaming give each
+    epoch an injective file namespace (part-e{epoch}-{pid}.skar)."""
 
     def kernel(table: pa.Table) -> pa.Table:
         import time as _time
@@ -153,7 +175,8 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
         body = t.select(data_cols + ["_host"])
 
         t_sorted = _time.time()
-        path = os.path.join(out_dir, "parts", f"part-{part_id:06d}.skar")
+        path = os.path.join(out_dir, "parts",
+                            name_fmt.format(pid=part_id))
         stats = write_part_file(path, body, cfg)
         t_written = _time.time()
 
@@ -191,6 +214,42 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str):
 
 def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
+
+
+def _meta_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "meta")
+
+
+def save_plan_meta(out_dir: str, meta: dict) -> None:
+    import json
+    os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    tmp = os.path.join(_meta_dir(out_dir), "plan.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(_meta_dir(out_dir), "plan.json"))
+
+
+def load_plan_meta(out_dir: str) -> dict | None:
+    import json
+    try:
+        with open(os.path.join(_meta_dir(out_dir), "plan.json")) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def save_salt_map(spark: SparkSession, out_dir: str,
+                  sm: DataFrame) -> None:
+    sm.write.mode("overwrite").parquet(
+        os.path.join(_meta_dir(out_dir), "salt_map"))
+
+
+def load_salt_map(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(os.path.join(_meta_dir(out_dir),
+                                               "salt_map"))
+    except Exception:
+        return None
 
 
 def read_lineage(spark: SparkSession, out_dir: str,
@@ -246,11 +305,10 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     corrupt parts are re-encoded and their lineage rows superseded.
     """
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
-    day_planned = None
     host_counts = None
+    day_meta = None
     if scheme == "day_hash":
-        day_planned, num_parts = plan_partitions_day_hash(
-            df, cfg.target_partition_rows, cfg)
+        pass  # planned below, after the salt map exists
     elif num_parts is None:
         if n_rows is None:
             # one pass serves both: total rows for partition planning AND
@@ -268,7 +326,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     # (b) kernel-stage parallelism == shuffle partitions; groups hashing
     #     2-to-a-task double the tail, so give groups room (≥ 2×groups),
     #     and never let AQE coalesce the CPU-bound encode stage.
-    if n_rows is not None:
+    if n_rows is not None and scheme != "day_hash":
         # half the average partition size: a salted heavy-host chunk then
         # fills at most ~half a partition, bounding the straggler tail
         eff_thr = min(cfg.salt_threshold_rows,
@@ -276,20 +334,55 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         if eff_thr != cfg.salt_threshold_rows:
             import dataclasses
             cfg = dataclasses.replace(cfg, salt_threshold_rows=eff_thr)
+    elif scheme == "day_hash":
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, salt_threshold_rows=min(
+                cfg.salt_threshold_rows,
+                max(500, cfg.target_partition_rows // 2)))
     sc = spark.sparkContext
     cores = sc.defaultParallelism
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     prev_coalesce = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.enabled")
-    spark.conf.set("spark.sql.shuffle.partitions",
-                   str(min(4096, max(int(prev_shuffle), cores * 2,
-                                     num_parts * 2))))
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
 
     import sys
     t_plan0 = time.time()
-    planned = day_planned if day_planned is not None \
-        else plan_partitions(df, num_parts, cfg, host_counts)
+    # the salt map + scheme parameters are PERSISTED so resume and
+    # late-data rollback replan with identical partition membership even
+    # if the input's host distribution has drifted
+    sm = load_salt_map(spark, out_dir) if resume else None
+    stored_meta = load_plan_meta(out_dir) if resume else None
+    if sm is None:
+        sm = salt_map(with_host(df), cfg, host_counts)
+        save_salt_map(spark, out_dir, sm)
+        sm = load_salt_map(spark, out_dir)
+    if stored_meta and scheme != "day_hash":
+        num_parts = stored_meta["num_parts"]
+    if scheme == "day_hash":
+        fixed = None
+        if stored_meta and stored_meta.get("d0"):
+            import datetime as _dt
+            fixed = (_dt.date.fromisoformat(stored_meta["d0"]),
+                     stored_meta["buckets"], stored_meta["num_parts"])
+        planned, num_parts, (d0, buckets, num_parts) = \
+            plan_partitions_day_hash(df, cfg.target_partition_rows, cfg,
+                                     fixed=fixed, salt=sm)
+        day_meta = {"d0": d0.isoformat(), "buckets": buckets}
+    else:
+        planned = plan_partitions(df, num_parts, cfg, host_counts, salt=sm)
+    if stored_meta is None:
+        save_plan_meta(out_dir, {
+            "scheme": scheme, "num_parts": num_parts,
+            "salt_threshold_rows": cfg.salt_threshold_rows,
+            "target_partition_rows": cfg.target_partition_rows,
+            **(day_meta or {})})
+    # kernel-stage parallelism: >= 2x groups so no task carries two
+    # CPU-bound partitions (straggler tail); set once num_parts is known
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(min(4096, max(int(prev_shuffle), cores * 2,
+                                     num_parts * 2))))
     if resume:
         done = completed_part_ids(spark, out_dir)
         if verify and done:
@@ -350,3 +443,69 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     lin = read_lineage(spark, out_dir, latest=True)
     assert lin is not None, "encode produced no lineage"
     return lin
+
+
+def _replan_with_stored(spark: SparkSession, df: DataFrame, out_dir: str,
+                        cfg: EngineConfig) -> tuple[DataFrame, dict]:
+    """Replan `df` with the PERSISTED salt map + scheme parameters so
+    partition membership is identical to the original encode."""
+    meta = load_plan_meta(out_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no plan metadata under {out_dir}")
+    sm = load_salt_map(spark, out_dir)
+    if sm is None:
+        raise FileNotFoundError(f"no salt map under {out_dir}")
+    if meta["scheme"] == "day_hash":
+        import datetime as _dt
+        d0 = _dt.date.fromisoformat(meta["d0"])
+        planned, _n, _m = plan_partitions_day_hash(
+            df, meta["target_partition_rows"], cfg,
+            fixed=(d0, meta["buckets"], meta["num_parts"]), salt=sm)
+    else:
+        planned = plan_partitions(df, meta["num_parts"], cfg, salt=sm)
+    return planned, meta
+
+
+def reencode_late(spark: SparkSession, full_df: DataFrame,
+                  late_df: DataFrame, out_dir: str,
+                  cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Late-data rollback: re-encode exactly the partitions the late rows
+    land in — the executable mirror of the reference's reorg walk-back +
+    refetch (skar/src/skar_runner.rs:160-232).
+
+    `full_df` is the corrected complete dataset (original + late rows);
+    `late_df` is just the late rows. Partition membership is replanned
+    from the PERSISTED salt map + scheme parameters, so unaffected
+    partitions keep byte-identical content and are not touched. Affected
+    part files are atomically overwritten and their lineage rows
+    superseded by `committed_at` (readers using the latest view never
+    see a partition twice).
+
+    Late rows that precede the table's day-range start are rejected —
+    the analog of the reference's bounded rollback depth
+    (skar/src/config.rs:8-9): extending the range backwards would shift
+    every day-partition id.
+    """
+    import sys
+
+    planned_late, meta = _replan_with_stored(spark, late_df, out_dir, cfg)
+    if meta["scheme"] == "day_hash":
+        n_before = planned_late.filter(F.col("part_id") < 0).count()
+        if n_before:
+            raise ValueError(
+                f"{n_before} late row(s) precede the table's day-range "
+                f"start {meta['d0']} — beyond the rollback bound")
+    affected = [r.part_id for r in
+                planned_late.select("part_id").distinct().collect()]
+    if not affected:
+        return read_lineage(spark, out_dir, latest=True)
+    print(f"[reencode_late] rolling back {len(affected)} partition(s): "
+          f"{sorted(affected)[:20]}", file=sys.stderr)
+
+    planned_full, _ = _replan_with_stored(spark, full_df, out_dir, cfg)
+    sub = planned_full.filter(F.col("part_id").isin(affected))
+    attempt = "late-" + uuid.uuid4().hex[:8]
+    footers = sub.groupBy("part_id").applyInArrow(
+        _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+    footers.write.mode("append").parquet(lineage_dir(out_dir))
+    return read_lineage(spark, out_dir, latest=True)

@@ -35,9 +35,6 @@ from skar_spark.engine.encode import (
     plan_partitions,
 )
 
-EPOCH_SPAN = 1_000_000  # part-id namespace per micro-batch epoch
-
-
 def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   cfg: EngineConfig = DEFAULT,
                   parts_per_batch: int = 8,
@@ -60,14 +57,25 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     def process_batch(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
+        # INJECTIVE epoch namespacing (ADVICE r01: the old modular scheme
+        # wrapped after ~2146 epochs and silently overwrote part files):
+        # part_id = epoch·parts_per_batch + local_pid never collides, and
+        # the file name embeds the epoch so even an id bug could not
+        # overwrite another epoch's file. Fail loudly at the int32 bound.
+        base = int(epoch_id) * parts_per_batch
+        if base + parts_per_batch >= 2 ** 31:
+            raise OverflowError(
+                f"epoch {epoch_id} exceeds the int32 part-id namespace "
+                f"({parts_per_batch} parts/epoch); rotate out_dir or "
+                "widen partition_id to long")
         planned = plan_partitions(bdf, parts_per_batch, cfg)
-        # namespace part ids by epoch (disjoint "folders" per flush)
         planned = planned.withColumn(
-            "part_id",
-            (F.col("part_id") + F.lit(int(epoch_id) * EPOCH_SPAN
-                                      % (2 ** 31 - EPOCH_SPAN))).cast("int"))
+            "part_id", (F.col("part_id") + F.lit(base)).cast("int"))
         footers = planned.groupBy("part_id").applyInArrow(
-            _encode_kernel(out_dir, cfg, f"epoch-{epoch_id}"), FOOTER_DDL)
+            _encode_kernel(out_dir, cfg, f"epoch-{epoch_id}",
+                           name_fmt=f"part-e{int(epoch_id)}-{{pid:09d}}"
+                                    ".skar"),
+            FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))
 
     return (stream.writeStream
