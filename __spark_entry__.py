@@ -44,6 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_detect": relational.q_gap_detect,
         "window_topk": relational.q_window_topk,
         "rollup_agg": relational.q_rollup,
+        "left_join": relational.q_left_join,
+        "having": relational.q_having,
+        "sessionize": relational.q_sessionize,
+        "json_extract": relational.q_json_extract,
         # training-data text ops
         "dedup_exact": textops.q_dedup_exact,
         "token_count": textops.q_token_count,
@@ -83,6 +87,10 @@ def oracle_sql() -> dict[str, str]:
         "gap_detect": relational.SQL_GAP_DETECT,
         "window_topk": relational.SQL_WINDOW_TOPK,
         "rollup_agg": relational.SQL_ROLLUP,
+        "left_join": relational.SQL_LEFT_JOIN,
+        "having": relational.SQL_HAVING,
+        "sessionize": relational.SQL_SESSIONIZE,
+        "json_extract": relational.SQL_JSON_EXTRACT,
         "dedup_exact": textops.SQL_DEDUP_EXACT,
         "token_count": textops.SQL_TOKEN_COUNT,
         "quality_score": textops.SQL_QUALITY_SCORE,

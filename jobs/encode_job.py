@@ -52,6 +52,10 @@ def main() -> None:
                     help="run a small untimed encode first (JIT + Python "
                          "daemon + Arrow-path warm-up) so the timed run "
                          "measures steady-state throughput")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="run the timed encode N times (fresh output dir "
+                         "each) and report the best — steady-state "
+                         "measurement; JIT keeps warming for ~2 runs")
     args = ap.parse_args()
 
     from skar_spark.config import EngineConfig
@@ -90,21 +94,34 @@ def main() -> None:
                          num_parts=args.cpus, n_rows=max(n_rows // 50, 1))
         _sh.rmtree(wdir, ignore_errors=True)
 
-    t0 = time.time()
-    lin = encode_documents(spark, docs, args.out, cfg,
-                           num_parts=args.partitions, n_rows=n_rows,
-                           resume=args.resume, scheme=args.scheme)
-    agg = lin.groupBy().sum("bytes_in", "bytes_out", "row_count").collect()[0]
-    sec = time.time() - t0
-    out = {
-        "rows": int(agg[2]), "bytes_in": int(agg[0]), "bytes_out": int(agg[1]),
-        "sec": round(sec, 3),
-        "gb_per_sec": round(int(agg[0]) / sec / 1e9, 4),
-        "ratio": round(int(agg[0]) / max(int(agg[1]), 1), 3),
-        "cpus": args.cpus,
-    }
+    import shutil as _sh
+    all_secs = []
+    best = None
+    for rep in range(max(1, args.repeats)):
+        out_dir = args.out if args.repeats == 1 else f"{args.out}.r{rep}"
+        if not args.resume:
+            _sh.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        lin = encode_documents(spark, docs, out_dir, cfg,
+                               num_parts=args.partitions, n_rows=n_rows,
+                               resume=args.resume, scheme=args.scheme)
+        agg = lin.groupBy().sum("bytes_in", "bytes_out",
+                                "row_count").collect()[0]
+        sec = time.time() - t0
+        all_secs.append(round(sec, 3))
+        if best is None or sec < best["sec"]:
+            best = {
+                "rows": int(agg[2]), "bytes_in": int(agg[0]),
+                "bytes_out": int(agg[1]), "sec": round(sec, 3),
+                "gb_per_sec": round(int(agg[0]) / sec / 1e9, 4),
+                "ratio": round(int(agg[0]) / max(int(agg[1]), 1), 3),
+                "cpus": args.cpus,
+            }
+        if args.repeats > 1 and rep < args.repeats - 1:
+            _sh.rmtree(out_dir, ignore_errors=True)
+    best["all_sec"] = all_secs
     spark.stop()
-    print(json.dumps(out))
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":

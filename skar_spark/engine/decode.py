@@ -279,3 +279,66 @@ def validate_output(spark: SparkSession, out_dir: str) -> DataFrame:
             .mapInArrow(check_fn,
                         "partition_id int, file string, ok boolean, "
                         "error string"))
+
+
+def scan_paged(spark: SparkSession, out_dir: str,
+               columns: list[str] | None = None,
+               host_eq: str | None = None,
+               ts_range: tuple[int, int] | None = None,
+               cursor: int = 0,
+               time_limit_ms: int | None = 5_000,
+               page_files: int = 64):
+    """Time-limited, cursor-resumable scan — the mirror of the
+    reference's query loop: process folders in block order until the
+    wall-clock budget is spent, then return partial results plus a
+    `next_block` cursor (query/handler.rs:104-129, config.rs:22-29).
+
+    Partitions are processed in file order starting at `cursor`
+    (a partition index), `page_files` per distributed page. Returns
+    (rows, next_cursor): `next_cursor` is None when the scan completed,
+    otherwise pass it back to continue. Rows are collected per page —
+    callers wanting a full-table DataFrame should use scan() instead;
+    this API exists for interactive, bounded-latency reads.
+    """
+    import time as _time
+
+    files = prune_partitions(spark, out_dir, host_eq, ts_range)
+    files = [f for f in files if _file_part_index(f) >= cursor]
+    if not files:
+        return [], None
+    t0 = _time.time()
+    rows: list = []
+    pos = 0
+    while pos < len(files):
+        page = files[pos:pos + page_files]
+        footer = read_footer(page[0])
+        cols = columns or footer["columns"]
+        ddl = spark_ddl_for(footer["schema"], cols)
+        paths_df = spark.createDataFrame(
+            [(f,) for f in page], "path string").repartition(len(page))
+
+        def decode_fn(batches):
+            for batch in batches:
+                for p in batch.column("path").to_pylist():
+                    t = read_part_file(p, columns=cols, host_eq=host_eq,
+                                       ts_range=ts_range)
+                    for rb in t.to_batches(max_chunksize=16384):
+                        yield rb
+
+        rows.extend(paths_df.mapInArrow(decode_fn, schema=ddl).collect())
+        pos += len(page)
+        if time_limit_ms is not None and \
+                (_time.time() - t0) * 1000 >= time_limit_ms:
+            break
+    if pos >= len(files):
+        return rows, None
+    return rows, _file_part_index(files[pos])
+
+
+def _file_part_index(path: str) -> int:
+    """Order/cursor key of a part file: the trailing integer in its name
+    (covers both batch `part-000007.skar` and streaming
+    `part-e3-000000007.skar` namespaces)."""
+    import re
+    m = re.search(r"(\d+)\.skar$", os.path.basename(path))
+    return int(m.group(1)) if m else 0

@@ -424,10 +424,12 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             sub = sub.filter(~F.col("part_id").isin(
                 [p for p in range(lo, min(hi, num_parts)) if p in done]))
         t_b0 = time.time()
-        # grouped applyInArrow, not repartition+mapInArrow: measured on the
-        # 4x8-executor standalone cluster at 1M docs — grouped 54.0s vs
-        # mapInArrow 63.4s (the JVM-side group sort is cheaper than the
-        # extra Arrow split/take pass the map path needs)
+        # grouped applyInArrow over ROWS. Two alternatives were built and
+        # raced at 1M docs on the 4x8-executor standalone cluster (warm
+        # workers, same session): row shuffle 43.6s, map-side Arrow-IPC
+        # blob pack 89.2s, spill-file exchange 129.8s. Packing crosses
+        # the Python boundary twice (map pack + kernel unpack), which
+        # costs more than the JVM's row machinery saves — rows win.
         footers = sub.groupBy("part_id").applyInArrow(
             _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))

@@ -302,3 +302,101 @@ SELECT l_returnflag, l_linestatus, count(*) AS n,
        round(sum(l_quantity), 2) AS qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+# --- left outer join + agg (round 2: outer-join surface) ----------------------
+
+def q_left_join(spark, sf):
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return (j.groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("n_orders"),
+                 F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2)
+                 .alias("total_f")))
+
+
+SQL_LEFT_JOIN = """
+SELECT c_custkey, count(o_orderkey) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total_f
+FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+  ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+# --- group-by + HAVING --------------------------------------------------------
+
+def q_having(spark, sf):
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_suppkey")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+            .filter(F.col("n") >= 30))
+
+
+SQL_HAVING = """
+SELECT l_suppkey, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 30
+"""
+
+# --- event sessionization (gaps-and-islands; 30-min inactivity window) --------
+
+def q_sessionize(spark, sf):
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1) \
+        .otherwise(0)
+    sess = (e.withColumn("is_new", new_sess)
+            .withColumn("sess", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "sess")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sess_value"),
+                 ((F.unix_micros(F.max("ts").cast("timestamp"))
+                   - F.unix_micros(F.min("ts").cast("timestamp")))
+                  / 1_000_000).alias("span_sec")))
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g)
+SELECT user_id, sess, count(*) AS n_events,
+       round(sum(value), 2) AS sess_value,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1000000
+           AS span_sec
+FROM s GROUP BY user_id, sess
+"""
+
+# --- JSON property extraction over events --------------------------------------
+
+def q_json_extract(spark, sf):
+    e = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("k_sum"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
