@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": textops.q_lang_id,
         "doc_fingerprint": textops.q_doc_fingerprint,
         "multimodal_meta": textops.q_multimodal_meta,
+        "bpe_token_count": textops.q_bpe_token_count,
+        "asof_join": relational.q_asof_join,
+        "range_join": relational.q_range_join,
         # near-dup + similarity
         "minhash": dedup.q_minhash,
         "lsh_pairs": dedup.q_lsh_pairs,
@@ -63,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": dedup.q_cosine_topk,
         "ann_lsh": dedup.q_ann_lsh,
         "multimodal_decode": multimodal.q_multimodal_decode,
+        "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path (no SQL oracle — custom storage format)
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
@@ -97,6 +101,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.SQL_LANG_ID,
         "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
         "multimodal_meta": textops.SQL_MULTIMODAL_META,
+        "bpe_token_count": textops.SQL_BPE_TOKEN_COUNT,
+        "asof_join": relational.SQL_ASOF_JOIN,
+        "range_join": relational.SQL_RANGE_JOIN,
         "minhash": dedup.SQL_MINHASH,
         "lsh_pairs": dedup.SQL_LSH_PAIRS,
         "simhash": dedup.SQL_SIMHASH,

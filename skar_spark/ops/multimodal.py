@@ -139,3 +139,178 @@ def q_multimodal_decode(spark, sf_dir: str) -> DataFrame:
                        F.encode(F.col("text"), "utf-8").alias("payload"))
     out = decode_image_meta(payload)
     return out.orderBy("doc_id")
+
+
+RESIZE_DDL = ("doc_id long, out_w int, out_h int, out_c int, "
+              "pixels binary")
+
+
+def resize_image_stub(df: DataFrame, out_w: int = 32, out_h: int = 32,
+                      id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """Image-resize plumbing: Arrow-batched kernel producing fixed-size
+    'pixel' buffers. The DECODE is the deterministic stub (payload bytes
+    stand in for decoded pixels — no media libs in this container); the
+    Spark-side shape (schema, batching, per-row output buffers built by
+    one vectorized gather) is exactly what a PIL/libvips kernel plugs
+    into (swap `_fake_resize_gather` for the real decode+resize).
+    """
+    npix = out_w * out_h
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            pay = batch.column(payload_col)
+            n = len(pay)
+            buf = pay.combine_chunks() if isinstance(pay, pa.ChunkedArray) \
+                else pay
+            width = 8 if pa.types.is_large_binary(buf.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(buf.buffers()[1], odt, count=n + 1,
+                                 offset=buf.offset * width).astype(np.int64)
+            data = np.frombuffer(buf.buffers()[2], np.uint8)
+            lens = offs[1:] - offs[:-1]
+            # vectorized 'resize': nearest-neighbor sample of npix bytes
+            # per row from the payload (one 2-D gather for the batch)
+            grid = np.arange(npix, dtype=np.int64)[None, :]
+            safe_lens = np.maximum(lens, 1)[:, None]
+            idx = offs[:-1, None] + (grid * safe_lens) // npix
+            if len(data):
+                pixels = data[np.clip(idx, 0, len(data) - 1)]
+            else:
+                pixels = np.zeros(idx.shape, np.uint8)
+            pixels[lens == 0] = 0
+            flat = pixels.reshape(-1)
+            out_offs = np.arange(0, (n + 1) * npix, npix, dtype=np.int32)
+            arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n, [None, pa.py_buffer(out_offs.tobytes()),
+                                 pa.py_buffer(flat.tobytes())])
+            yield pa.record_batch({
+                "doc_id": ids.cast(pa.int64()),
+                "out_w": pa.array(np.full(n, out_w, np.int32)),
+                "out_h": pa.array(np.full(n, out_h, np.int32)),
+                "out_c": pa.array(np.ones(n, np.int32)),
+                "pixels": arr,
+            })
+
+    return df.mapInArrow(kernel, schema=RESIZE_DDL)
+
+
+FRAMES_DDL = ("doc_id long, frame_idx int, frame_off long, "
+              "frame_len int, frame_fp long")
+_FRAME_BYTES = 4096
+
+
+def sample_frames_stub(df: DataFrame, every_n: int = 4,
+                       id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """Video frame-sampling plumbing: the payload is treated as a
+    sequence of fixed-size 'frames'; every Nth frame's (offset, length,
+    fingerprint) is emitted — a row-expanding Arrow kernel (one input
+    row → many frame rows), the exact shape an ffmpeg keyframe sampler
+    plugs into. All offset math + fingerprints are vectorized."""
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pay = batch.column(payload_col)
+            n = len(pay)
+            buf = pay.combine_chunks() if isinstance(pay, pa.ChunkedArray) \
+                else pay
+            width = 8 if pa.types.is_large_binary(buf.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(buf.buffers()[1], odt, count=n + 1,
+                                 offset=buf.offset * width).astype(np.int64)
+            data = np.frombuffer(buf.buffers()[2], np.uint8)
+            lens = offs[1:] - offs[:-1]
+            n_frames = (lens + _FRAME_BYTES - 1) // _FRAME_BYTES
+            n_sampled = (n_frames + every_n - 1) // every_n
+            if n_sampled.sum() == 0:
+                continue
+            row_of = np.repeat(np.arange(n), n_sampled)
+            # per-output local sample index 0..n_sampled[row]-1
+            starts = np.concatenate(([0], np.cumsum(n_sampled)))[:-1]
+            local = np.arange(len(row_of)) - starts[row_of]
+            fidx = (local * every_n).astype(np.int64)
+            foff = offs[:-1][row_of] + fidx * _FRAME_BYTES
+            flen = np.minimum(offs[1:][row_of] - foff, _FRAME_BYTES)
+            # cheap vectorized fingerprint: first-8-bytes LE integer of
+            # each sampled frame (masked gather)
+            g = foff[:, None] + np.arange(8, dtype=np.int64)[None, :]
+            valid = g < (foff + flen)[:, None]
+            if len(data):
+                by = data[np.clip(g, 0, len(data) - 1)]
+            else:
+                by = np.zeros(g.shape, np.uint8)
+            by = np.where(valid, by, 0).astype(np.uint64)
+            fp = (by * (np.uint64(1) << (np.arange(8, dtype=np.uint64)
+                                         * np.uint64(8)))).sum(axis=1)
+            yield pa.record_batch({
+                "doc_id": pa.array(ids[row_of], pa.int64()),
+                "frame_idx": pa.array(fidx.astype(np.int32)),
+                "frame_off": pa.array(foff - offs[:-1][row_of],
+                                      pa.int64()),
+                "frame_len": pa.array(flen.astype(np.int32)),
+                "frame_fp": pa.array(fp.view(np.int64), pa.int64()),
+            })
+
+    return df.mapInArrow(kernel, schema=FRAMES_DDL)
+
+
+AUDIO_DDL = "doc_id long, n_samples long, rms double, peak int"
+
+
+def audio_features_stub(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """Audio feature extraction plumbing: payload bytes are treated as
+    signed 8-bit PCM samples; RMS + peak are computed per row with
+    cumsum/maximum.reduceat — real vectorized DSP over the stub decode
+    (swap the byte view for a torchaudio/ffmpeg decode on real infra)."""
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(id_col)
+            pay = batch.column(payload_col)
+            n = len(pay)
+            buf = pay.combine_chunks() if isinstance(pay, pa.ChunkedArray) \
+                else pay
+            width = 8 if pa.types.is_large_binary(buf.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            offs = np.frombuffer(buf.buffers()[1], odt, count=n + 1,
+                                 offset=buf.offset * width).astype(np.int64)
+            data = np.frombuffer(buf.buffers()[2], np.uint8)
+            samples = data.view(np.int8).astype(np.float64)
+            lens = offs[1:] - offs[:-1]
+            sq = np.zeros(len(data) + 1)
+            np.cumsum(samples * samples, out=sq[1:])
+            sums = sq[offs[1:]] - sq[offs[:-1]]
+            rms = np.sqrt(sums / np.maximum(lens, 1))
+            rms[lens == 0] = 0.0
+            if len(data):
+                absmax = np.abs(samples).astype(np.int16)
+                peak = np.maximum.reduceat(
+                    np.concatenate([absmax, [0]]),
+                    np.minimum(offs[:-1], len(data) - 1))
+                peak = np.where(lens > 0, peak, 0)
+            else:
+                peak = np.zeros(n, np.int16)
+            yield pa.record_batch({
+                "doc_id": ids.cast(pa.int64()),
+                "n_samples": pa.array(lens, pa.int64()),
+                "rms": pa.array(np.round(rms, 6), pa.float64()),
+                "peak": pa.array(peak.astype(np.int32), pa.int32()),
+            })
+
+    return df.mapInArrow(kernel, schema=AUDIO_DDL)
+
+
+def q_multimodal_frames(spark, sf_dir: str) -> DataFrame:
+    """Driver query: frame-sampling plumbing over html payloads treated
+    as fixed-frame video streams. Rows-only check (binary offsets are
+    not SQL-expressible)."""
+    from pyspark.sql import functions as F
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = d.select("doc_id",
+                       F.encode(F.col("html"), "utf-8").alias("payload"))
+    return sample_frames_stub(payload, every_n=4).orderBy(
+        "doc_id", "frame_idx")

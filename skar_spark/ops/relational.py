@@ -400,3 +400,99 @@ SELECT event_type, count(*) AS n,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
 """
+
+# --- AS-OF join (custom operator: Spark has no native ASOF) -------------------
+#
+# For each 'click' event, the latest 'view' event of the same user at or
+# before it. Spark realization is the sorted-union window trick — tag the
+# two streams, order by (ts, kind) within user, and carry the last seen
+# view via last(..., ignorenulls) — one shuffle on user_id, no UDF, no
+# cross product. DuckDB oracle uses its native ASOF JOIN. At 10^12 rows
+# the window runs per user partition (bounded), same shape as any
+# sessionization.
+
+def q_asof_join(spark, sf):
+    e = load(spark, sf, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    views = (e.filter(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id", F.lit(0).alias("kind")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select("user_id", "ts", "event_id", F.lit(1).alias("kind")))
+    u = views.unionAll(clicks)
+    # kind=0 (view) sorts before kind=1 (click) on ts ties → `<=` asof
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "kind", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (u.withColumn(
+        "view_event_id",
+        F.last(F.when(F.col("kind") == 0, F.col("event_id")),
+               ignorenulls=True).over(w))
+        .withColumn(
+        "view_ts",
+        F.last(F.when(F.col("kind") == 0, F.col("ts")),
+               ignorenulls=True).over(w)))
+    return (carried.filter(F.col("kind") == 1)
+            .select(F.col("event_id").alias("click_id"), "user_id",
+                    "view_event_id",
+                    ((us(F.col("ts")) - us(F.col("view_ts"))) / 1_000_000)
+                    .alias("gap_sec")))
+
+
+SQL_ASOF_JOIN = """
+SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_event_id,
+       CAST(epoch_us(c.ts) - epoch_us(v.ts) AS DOUBLE) / 1000000
+           AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND v.ts <= c.ts
+"""
+
+# --- range join (time-window join via bucketing) -------------------------------
+#
+# For each 'error' event, how many 'click' events the same user made in
+# the preceding 5 minutes. A naive theta-join is O(n·m); the scalable
+# plan buckets time into window-sized cells so the join is an EQUI-join
+# on (user_id, bucket) — each click lands in exactly the 2 buckets that
+# could contain a matching error — with the exact range as a residual
+# filter. DuckDB oracle uses the plain inequality join.
+
+_RANGE_US = 5 * 60 * 1_000_000
+
+
+def q_range_join(spark, sf):
+    e = load(spark, sf, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("error_id"), "user_id",
+                      us(F.col("ts")).alias("e_us"))
+              .withColumn("bucket", (F.col("e_us") / _RANGE_US)
+                          .cast("long")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("c_user"),
+                      us(F.col("ts")).alias("c_us")))
+    # a click at t can match errors in (t, t + 5min] → buckets b and b+1
+    cand = clicks.withColumn(
+        "bucket", F.explode(F.array(
+            (F.col("c_us") / _RANGE_US).cast("long"),
+            (F.col("c_us") / _RANGE_US).cast("long") + 1)))
+    j = errors.join(
+        cand,
+        (errors.user_id == cand.c_user) & (errors.bucket == cand.bucket)
+        & (cand.c_us >= errors.e_us - F.lit(_RANGE_US))
+        & (cand.c_us < errors.e_us),
+        "left")
+    return (j.groupBy("error_id", "user_id")
+            .agg(F.count("click_id").alias("n_clicks_5m")))
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id AS error_id, e.user_id,
+       count(c.event_id) AS n_clicks_5m
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = e.user_id
+ AND epoch_us(c.ts) >= epoch_us(e.ts) - 5 * 60 * 1000000
+ AND epoch_us(c.ts) < epoch_us(e.ts)
+GROUP BY e.event_id, e.user_id
+"""

@@ -164,3 +164,27 @@ SELECT doc_id, octet_length(encode(text)) AS n_bytes,
        octet_length(encode(text)) - length(text) AS multibyte_extra
 FROM documents
 """
+
+# --- BPE-ish regex token counting (training-data op) ---------------------------
+#
+# The whitespace count (q_token_count) underestimates LLM token budgets;
+# this pre-tokenizer-style regex counts words / digit runs / punctuation
+# marks separately (the GPT-2 pre-tokenizer shape, simplified to a
+# dialect both Java regex and DuckDB's RE2 interpret identically).
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_bpe_token_count(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).alias("n_bpe_tokens"))
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+            AS INT) AS n_bpe_tokens
+FROM documents
+"""
