@@ -94,6 +94,19 @@ def main() -> None:
     n_back = scan(spark, out).count()
     timings["decode_job"] = round(time.time() - t0, 3)
     assert n_back == n_docs, (n_back, n_docs)
+
+    # bloom-pruned point query over the encoded output via the skar
+    # DataSource (the shape of the reference's one published number:
+    # a pruned point lookup, README.md:326)
+    from pyspark.sql import functions as F  # noqa: F811
+    from skar_spark.sources import register
+    register(spark)
+    enc = spark.read.format("skar").load(out)
+    some_host = enc.select("host").first()["host"]
+    t0 = time.time()
+    n_hits = enc.filter(F.col("host") == some_host).count()
+    timings["point_query"] = round(time.time() - t0, 3)
+    assert n_hits > 0
     docs.unpersist()
 
     total = round(sum(timings.values()), 3)

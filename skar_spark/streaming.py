@@ -38,7 +38,8 @@ from skar_spark.engine.encode import (
 def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   cfg: EngineConfig = DEFAULT,
                   parts_per_batch: int = 8,
-                  checkpoint_dir: str | None = None):
+                  checkpoint_dir: str | None = None,
+                  max_files_per_trigger: int = 16):
     """Continuously encode documents landing as parquet in `input_dir`.
 
     Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
@@ -50,8 +51,11 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
+    # backpressure (T5): maxFilesPerTrigger bounds every micro-batch's
+    # input volume — the analog of the reference's bounded ingest channel
+    # (ingest/src/ingest.rs:18, 4-batch mpsc depth)
     stream = (spark.readStream.schema(DOCS_DDL)
-              .option("maxFilesPerTrigger", "16")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
               .parquet(input_dir))
 
     def process_batch(bdf: DataFrame, epoch_id: int) -> None:

@@ -54,3 +54,36 @@ def test_windowed_rate_with_watermark(spark, landing, tmp_path):
     rows = spark.sql("SELECT * FROM rate_out").collect()
     assert len(rows) > 0
     assert sum(r.n_docs for r in rows) == 2500
+
+
+def test_backpressure_bounds_microbatch_volume(spark, tmp_path):
+    """T5: maxFilesPerTrigger caps every micro-batch's input — with 12
+    landing files and a 4-file trigger the stream must commit >= 3
+    epochs, each encoding at most 4 files' worth of rows."""
+    import pyarrow.parquet as _pq
+
+    from skar_spark.engine.encode import read_lineage
+
+    d = tmp_path / "landing12"
+    d.mkdir()
+    per_file = 200
+    for i in range(12):
+        _pq.write_table(
+            synth_batch(np.arange(i * per_file, (i + 1) * per_file)),
+            str(d / f"f{i:02d}.parquet"))
+    out = str(tmp_path / "bp_out")
+    q = stream_encode(spark, str(d), out, CFG, parts_per_batch=2,
+                      max_files_per_trigger=4)
+    q.awaitTermination(180)
+
+    lin = read_lineage(spark, out)
+    rows = lin.select("attempt_id", "row_count").collect()
+    per_epoch = {}
+    for r in rows:
+        per_epoch[r.attempt_id] = per_epoch.get(r.attempt_id, 0) \
+            + r.row_count
+    assert len(per_epoch) >= 3          # the stream really micro-batched
+    assert sum(per_epoch.values()) == 12 * per_file
+    assert max(per_epoch.values()) <= 4 * per_file  # bounded per epoch
+    # injective namespacing: no part file collided across epochs
+    assert scan(spark, out).count() == 12 * per_file
