@@ -18,8 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the full north-rule engine pass on sf0.001 — encode the
-    webtext-shaped documents table with codec auto-selection, decode,
-    verify byte-identical text per url, return per-partition lineage."""
+    webtext-shaped documents table with codec auto-selection, decode it
+    back through the custom columnar format, and return (url, text_md5)
+    per document computed from the DECODED bytes (hash-verifiable)."""
     from skar_spark.ops.engine_queries import q_encode_roundtrip
     return q_encode_roundtrip(spark, "/root/testdata/sf0.001")
 
@@ -67,14 +68,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": dedup.q_ann_lsh,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
-        # engine path (no SQL oracle — custom storage format)
+        # engine path — encode → decode through the custom columnar
+        # format; roundtrip + pruned scan are hash-verified vs DuckDB
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
+        "engine_lineage": engine_queries.q_engine_lineage,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    from skar_spark.ops import dedup, relational, textops
+    from skar_spark.ops import dedup, engine_queries, relational, textops
     return {
         "range_filter": relational.SQL_RANGE_FILTER,
         "inset_disjunction": relational.SQL_INSET_DISJUNCTION,
@@ -110,8 +113,11 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
         "cosine_topk": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
-        # encode_roundtrip / engine_scan_pruned: custom storage format,
-        # intentionally no SQL oracle (driver rows-only check)
+        # engine path: the decoded output is projected to SQL-expressible
+        # columns so the north-rule invariant is hash-verified end-to-end
+        "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,
+        "engine_scan_pruned": engine_queries.SQL_ENGINE_SCAN_PRUNED,
+        # engine_lineage: engine-internal schema, rows-only by design
     }
 
 

@@ -1,9 +1,16 @@
-"""Engine-level queries for the driver contract (non-SQL-expressible).
+"""Engine-level queries for the driver contract.
 
 These exercise the actual north-rule path — encode → decode → verify —
 on a webtext-shaped table derived deterministically from the driver's
-`documents` table. No oracle SQL exists for them (custom storage format);
-the driver records the weaker rows-only check.
+`documents` table.
+
+Round 3: the roundtrip and pruned-scan queries now have REAL DuckDB
+oracles (hash-verified), not just rows-only checks. The decoded output
+is projected to SQL-expressible columns — ``(url, md5(text))`` — so the
+north-rule invariant itself (byte-identical text per url after a full
+encode/decode cycle through the custom columnar format) is verified by
+the driver's value hash. Reference analog: full referential
+self-validation in /root/reference/skar/src/validate_parquet.rs:17-66.
 """
 
 from __future__ import annotations
@@ -20,11 +27,17 @@ from skar_spark.config import EngineConfig
 
 def webtext_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministically lift the driver's documents table to the
-    north-rule input shape (url, warc_ts, html, text, lang)."""
+    north-rule input shape (url, warc_ts, html, text, lang).
+
+    Every expression here is chosen to be expressible identically in
+    ANSI SQL (DuckDB) so the engine roundtrip can be hash-verified:
+    host bucket is ``doc_id % 97`` (uniform, overflow-free at any
+    scale), warc_ts is an interval add.
+    """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select(
         F.concat(F.lit("https://docs-"),
-                 F.pmod(F.xxhash64("doc_id"), F.lit(97)).cast("string"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
                  F.lit(".local/"), F.col("doc_id").cast("string")).alias("url"),
         (F.lit("2024-01-01 00:00:00").cast("timestamp")
          + F.make_interval(secs=F.col("doc_id").cast("double"))).alias("warc_ts"),
@@ -35,26 +48,64 @@ def webtext_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB-side equivalent of the url lift above — shared by the oracles.
+_SQL_URL = ("concat('https://docs-', CAST(doc_id % 97 AS VARCHAR), "
+            "'.local/', CAST(doc_id AS VARCHAR))")
+
+
 def _out_dir(sf_dir: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     return f"/tmp/skar_spark_engine_{tag}"
 
 
-def q_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full engine pass: encode the webtext table, decode it, verify the
-    north-rule invariant (byte-identical text per url), return one row per
-    partition with codec choices + verification flags."""
-    from skar_spark.engine.decode import scan
+def _ensure_encoded(spark: SparkSession, sf_dir: str, fresh: bool = False) -> str:
+    """Encode the lifted webtext table into the custom columnar format
+    (once per sf_dir unless ``fresh``); returns the table directory."""
     from skar_spark.engine.encode import encode_documents
 
+    out = _out_dir(sf_dir)
+    done = os.path.isdir(os.path.join(out, "parts"))
+    if done and not fresh:
+        return out
+    shutil.rmtree(out, ignore_errors=True)
     cfg = EngineConfig(target_partition_rows=5_000, max_row_group_size=2_000,
                        salt_threshold_rows=4_000)
     docs = webtext_from_documents(spark, sf_dir)
-    out = _out_dir(sf_dir)
-    shutil.rmtree(out, ignore_errors=True)
-    n = docs.count()
-    lin = encode_documents(spark, docs, out, cfg, n_rows=n)
+    encode_documents(spark, docs, out, cfg, n_rows=docs.count())
+    return out
 
+
+def q_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine pass, hash-verified: encode the webtext table through
+    the codec-auto-selected columnar format, decode it back, and emit
+    ``(url, text_md5)`` per document FROM THE DECODED BYTES. The DuckDB
+    oracle computes the same projection from the raw parquet — a value
+    hash match proves byte-identical text per url end-to-end (the
+    north-rule invariant)."""
+    from skar_spark.engine.decode import scan
+
+    out = _ensure_encoded(spark, sf_dir, fresh=True)
+    dec = scan(spark, out)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENCODE_ROUNDTRIP = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+"""
+
+
+def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage + explicit verification flags for the engine
+    pass (codec choices per column, byte counts, mismatch count). The
+    lineage/metrics schema is engine-internal → rows-only check; the
+    underlying invariant is hash-verified by `encode_roundtrip`."""
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.encode import read_lineage
+
+    out = _ensure_encoded(spark, sf_dir)
+    lin = read_lineage(spark, out, latest=True)
+
+    docs = webtext_from_documents(spark, sf_dir)
     dec = scan(spark, out)
     orig = docs.select("url", F.md5(F.col("text")).alias("h_orig"))
     back = dec.select("url", F.md5(F.col("text")).alias("h_back"))
@@ -70,13 +121,18 @@ def q_encode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_engine_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-side projection + pruning over the encoded output of
-    q_encode_roundtrip (depends on it having run; re-runs encode if not)."""
+    """Decode-side projection + aggregation over the encoded table
+    (column-pruned scan: only url/lang chunks are decoded). Hash-verified
+    against the same aggregate over the raw parquet."""
     from skar_spark.engine.decode import scan
 
-    out = _out_dir(sf_dir)
-    if not os.path.isdir(os.path.join(out, "parts")):
-        q_encode_roundtrip(spark, sf_dir).collect()
+    out = _ensure_encoded(spark, sf_dir)
     dec = scan(spark, out, columns=["url", "lang"])
     return (dec.groupBy("lang").agg(F.count("*").alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), F.col("lang")))
+
+
+SQL_ENGINE_SCAN_PRUNED = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""

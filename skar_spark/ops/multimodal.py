@@ -310,7 +310,10 @@ def q_multimodal_frames(spark, sf_dir: str) -> DataFrame:
     not SQL-expressible)."""
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payload = d.select("doc_id",
-                       F.encode(F.col("html"), "utf-8").alias("payload"))
+    # documents has no binary column; lift `text` to bytes the same way
+    # q_multimodal_decode does (type-aware: encode only if string-typed)
+    src = d.schema["text"].dataType.simpleString()
+    col = F.col("text") if src == "binary" else F.encode(F.col("text"), "utf-8")
+    payload = d.select("doc_id", col.alias("payload"))
     return sample_frames_stub(payload, every_n=4).orderBy(
         "doc_id", "frame_idx")

@@ -78,6 +78,14 @@ def test_query_matches_oracle(spark, ddb, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0
+    assert set(df.columns) == {"url", "text_md5"}
+    assert all(len(r.text_md5) == 32 for r in rows)
+
+
+def test_engine_lineage_verified(spark):
+    from skar_spark.ops.engine_queries import q_engine_lineage
+    rows = q_engine_lineage(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
     assert all(r.verified for r in rows)
     assert all(r.text_mismatches == 0 for r in rows)
