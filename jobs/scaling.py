@@ -250,8 +250,9 @@ def main() -> None:
                          "already runs --job-repeats encodes in-session)")
     ap.add_argument("--job-repeats", type=int, default=3,
                     help="in-session encode repeats per leg; best-of "
-                         "(steady-state: JIT warm-in takes ~2 runs). The "
-                         "cheap 4N leg automatically runs 2 extra reps.")
+                         "(steady-state: JIT warm-in takes ~2 runs). "
+                         "Both legs run the SAME count — symmetric "
+                         "sampling keeps the efficiency ratio unbiased.")
     ap.add_argument("--keep-cluster", action="store_true")
     args = ap.parse_args()
     partitions = args.partitions or max(128, args.docs // 7000)
@@ -271,9 +272,12 @@ def main() -> None:
         try:
             cluster.ensure_master()
             for r in range(args.repeats):
+                # SAME repeat count on both legs: best-of over more
+                # samples would systematically favor that leg and bias
+                # the efficiency ratio (asymmetric protocols are not
+                # like-for-like)
                 for n_w, runs, tag, jr in (
-                        (args.n4_workers, runs_4n, "b",
-                         args.job_repeats + 2),
+                        (args.n4_workers, runs_4n, "b", args.job_repeats),
                         (args.n_workers, runs_n, "a", args.job_repeats)):
                     cluster.set_workers(n_w)
                     runs.append(submit_encode(

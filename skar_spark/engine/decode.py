@@ -177,6 +177,11 @@ def prune_selections(spark: SparkSession, out_dir: str,
     distributed pass over the lineage table: zone maps as JVM-side
     expressions, blooms probed executor-side, per selection.
     """
+    if not selections:
+        # no disjuncts → nothing can match any file (the OR of an empty
+        # set is false); mirror the natural SQL semantics instead of
+        # building an unparsable filter("")
+        return {}
     files = set(list_part_files(out_dir))
     lin = read_lineage(spark, out_dir, latest=True)
     if lin is None:
@@ -303,7 +308,12 @@ def scan_paged(spark: SparkSession, out_dir: str,
     import time as _time
 
     files = prune_partitions(spark, out_dir, host_eq, ts_range)
-    files = [f for f in files if _file_part_index(f) >= cursor]
+    # cursor order must follow the numeric part index, not lexicographic
+    # file order: streaming names (part-e{epoch}-{pid}) sort e10 < e2
+    # textually while pids grow with epoch, which would make a resumed
+    # cursor re-read returned partitions and skip unprocessed ones
+    files = sorted((f for f in files if _file_part_index(f) >= cursor),
+                   key=_file_part_index)
     if not files:
         return [], None
     t0 = _time.time()

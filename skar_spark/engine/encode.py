@@ -304,6 +304,14 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     it (mirror of validate_parquet.rs:17-66 at skar_runner.rs:309-312);
     corrupt parts are re-encoded and their lineage rows superseded.
     """
+    # fail-fast BEFORE any write into out_dir: a non-resume rerun into a
+    # committed table must not clobber the persisted salt map / plan.json
+    # (replan state) with values computed from the NEW input — a later
+    # resume/rollback would replan with wrong partition membership
+    if not resume and read_lineage(spark, out_dir) is not None:
+        raise FileExistsError(
+            f"{out_dir} already has lineage; pass resume=True to "
+            "continue it, or clear the directory for a fresh encode")
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     host_counts = None
     day_meta = None
@@ -396,14 +404,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
                       file=__import__("sys").stderr)
             done -= bad
     else:
-        done = set()
-        # re-running into a committed out_dir without resume would append
-        # duplicate lineage rows (double-counted downstream) and silently
-        # overwrite part files — fail fast instead (ADVICE r01)
-        if read_lineage(spark, out_dir) is not None:
-            raise FileExistsError(
-                f"{out_dir} already has lineage; pass resume=True to "
-                "continue it, or clear the directory for a fresh encode")
+        done = set()  # fresh-encode guard ran at function entry
     attempt = uuid.uuid4().hex[:12]
     print(f"[encode] plan: {time.time() - t_plan0:.1f}s "
           f"(num_parts={num_parts})", file=sys.stderr)

@@ -167,7 +167,10 @@ def _derive_host(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
     import pyarrow.compute as pc
     st = pc.extract_regex(urls, HOST_RE_ARROW)
     comb = st.combine_chunks() if isinstance(st, pa.ChunkedArray) else st
-    return comb.field("host")
+    # non-matching urls: Spark's regexp_extract (encode.with_host) yields
+    # '' while extract_regex yields NULL — coalesce so host semantics are
+    # identical between DataSource reads and encode-side derivation
+    return pc.fill_null(comb.field("host"), "")
 
 
 def read_part_file(path: str, columns: list[str] | None = None,

@@ -122,7 +122,16 @@ _SIM_BITS = 16
 def q_simhash(spark, sf):
     d = load(spark, sf, "documents")
     toks = F.array_distinct(_tokens(F.col("text")))
-    th = F.transform(toks, lambda t: h60(t))
+    # stage the token-hash array as a real column: the 16 per-bit
+    # aggregates below each reference it, and an unstaged expression
+    # would re-run split+distinct+md5-per-token 16× per row (the same
+    # lesson as q_minhash's staging — CollapseProject keeps a staged
+    # expensive alias referenced >1× as its own projection)
+    staged = d.select(
+        "doc_id",
+        (F.length(F.trim("text")) == 0).alias("_empty"),
+        F.transform(toks, lambda t: h60(t)).alias("_th"))
+    th = F.col("_th")
 
     def bit_sum(b: int):
         return F.aggregate(
@@ -134,9 +143,9 @@ def q_simhash(spark, sf):
     for b in range(_SIM_BITS):
         term = F.when(bit_sum(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    empty = F.length(F.trim("text")) == 0
-    return d.select("doc_id",
-                    F.when(empty, F.lit(0)).otherwise(sim).alias("simhash"))
+    return staged.select(
+        "doc_id",
+        F.when(F.col("_empty"), F.lit(0)).otherwise(sim).alias("simhash"))
 
 
 def _sql_simhash() -> str:
@@ -359,9 +368,20 @@ def _bucket_expr(table: int, planes: int):
 
 def q_ann_lsh(spark, sf):
     from pyspark.sql import Window
-    e = load(spark, sf, "embeddings")
-    n = e.count()
+    import hashlib
+    import os
+    import sys
+
+    import pyarrow.parquet as pq
+
+    # n from parquet metadata — no Spark job just to size the planes
+    # (VERDICT r02: keep the count off the hot path)
+    try:
+        n = pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    except (OSError, IsADirectoryError):
+        n = load(spark, sf, "embeddings").count()
     planes = n_planes(n)
+    e = load(spark, sf, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
 
@@ -372,16 +392,25 @@ def q_ann_lsh(spark, sf):
         bucketed = bt if bucketed is None else bucketed.unionAll(bt)
 
     # per-bucket cap, deterministic (vec_id order) and mirrored in the
-    # oracle; dropped rows are counted and logged — never silent
+    # oracle; dropped rows are counted and logged — never silent.
+    # The capped table is STAGED to parquet before the self-join: the
+    # bucketing (4 tables × planes hyperplane dot products) is computed
+    # exactly ONCE, where joining the lazy plan against itself would
+    # recompute it for both join sides (plus once per driver action —
+    # 4 computations total before r3). Same pattern as a staging table
+    # ahead of a self-join at cluster scale; no cache to leak.
     w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
-    capped = (bucketed.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
-    dropped = (bucketed.groupBy("tbl", "bucket").count()
-               .agg(F.sum(F.greatest(F.col("count") - _ANN_BUCKET_CAP,
-                                     F.lit(0))).alias("d"))
-               .collect()[0].d or 0)
+    capped_lazy = (bucketed.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
+    tag = hashlib.md5(f"{sf}|{n}|{planes}".encode()).hexdigest()[:10]
+    stage_dir = f"/tmp/skar_ann_stage_{tag}"
+    capped_lazy.write.mode("overwrite").parquet(stage_dir)
+    capped = spark.read.parquet(stage_dir)
+
+    kept = sum(pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
+               for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+    dropped = n * _ANN_TABLES - kept
     if dropped:
-        import sys
         print(f"[ann_lsh] bucket cap {_ANN_BUCKET_CAP} dropped {dropped} "
               f"of {n * _ANN_TABLES} table entries", file=sys.stderr)
 
