@@ -73,18 +73,23 @@ def _bloom_probe_udf(hosts: list[str]):
 
 def prune_partitions(spark: SparkSession, out_dir: str,
                      host_eq: str | None = None,
-                     ts_range: tuple[int, int] | None = None) -> list[str]:
-    """Distributed partition pruning via lineage zone maps + host blooms —
-    the mirror of the folder index seek (db/mod.rs:217-305) + prune_query
-    folder skipping (handler.rs:144-158). Bloom blobs are probed
-    executor-side; the driver only ever sees surviving path strings."""
+                     ts_range: tuple[int, int] | None = None,
+                     lang_eq: str | None = None) -> list[str]:
+    """Distributed partition pruning via lineage zone maps + the host and
+    lang bloom families — the mirror of the folder index seek
+    (db/mod.rs:217-305) + prune_query folder skipping (handler.rs:144-158).
+    Bloom blobs are probed executor-side; the driver only ever sees
+    surviving path strings."""
     files = list_part_files(out_dir)
     lin = read_lineage(spark, out_dir, latest=True)
-    if lin is None or (host_eq is None and ts_range is None):
+    if lin is None or (host_eq is None and ts_range is None
+                       and lang_eq is None):
         return files
     sel = lin.filter(_lineage_keep_expr(host_eq, ts_range))
     if host_eq is not None:
         sel = sel.filter(_bloom_probe_udf([host_eq])(F.col("host_bloom")))
+    if lang_eq is not None and "lang_bloom" in lin.columns:
+        sel = sel.filter(_bloom_probe_udf([lang_eq])(F.col("lang_bloom")))
     survived = {r.file for r in sel.select("file").collect()}
     in_lineage = {r.file for r in lin.select("file").collect()}
     # files with no lineage row can't be pruned; keep them
@@ -94,7 +99,8 @@ def prune_partitions(spark: SparkSession, out_dir: str,
 def prune_partitions_local(out_dir: str,
                            host_eq: str | None = None,
                            ts_range: tuple[int, int] | None = None,
-                           any_hosts: list[str] | None = None
+                           any_hosts: list[str] | None = None,
+                           lang_eq: str | None = None
                            ) -> list[str]:
     """Single-process partition pruning for contexts that cannot launch a
     Spark job (the Python DataSource planning worker). The analog of the
@@ -118,7 +124,7 @@ def prune_partitions_local(out_dir: str,
     probes = list(any_hosts or [])
     if host_eq is not None:
         probes = [host_eq]
-    if not probes and ts_range is None:
+    if not probes and ts_range is None and lang_eq is None:
         return files
     try:
         d = pads.dataset(lineage_dir(out_dir), format="parquet")
@@ -130,6 +136,9 @@ def prune_partitions_local(out_dir: str,
     has_commit = "committed_at" in names
     if has_commit:
         cols.append("committed_at")
+    has_lang_bloom = lang_eq is not None and "lang_bloom" in names
+    if has_lang_bloom:
+        cols.append("lang_bloom")
     if not {"file", "min_warc_ts", "max_warc_ts"} <= names:
         return files
     latest: dict[int, tuple[float, str, bool]] = {}
@@ -151,12 +160,16 @@ def prune_partitions_local(out_dir: str,
         commits = (batch.column("committed_at").to_pylist()
                    if has_commit else [None] * n)
         blooms = batch.column("host_bloom") if probes else None
+        lblooms = batch.column("lang_bloom") if has_lang_bloom else None
         for i in range(n):  # per PARTITION metadata row, not per data row
             k = bool(keep[i])
             if k and probes:
                 b = blooms[i].as_py()
                 k = b is None or any(bloom_might_contain(bytes(b), h)
                                      for h in probes)
+            if k and has_lang_bloom:
+                b = lblooms[i].as_py()
+                k = b is None or bloom_might_contain(bytes(b), lang_eq)
             ts = commits[i] if commits[i] is not None else float("-inf")
             prev = latest.get(pids[i])
             if prev is None or ts >= prev[0]:
@@ -210,14 +223,16 @@ def prune_selections(spark: SparkSession, out_dir: str,
 def scan(spark: SparkSession, out_dir: str,
          columns: list[str] | None = None,
          host_eq: str | None = None,
-         ts_range: tuple[int, int] | None = None) -> DataFrame:
+         ts_range: tuple[int, int] | None = None,
+         lang_eq: str | None = None) -> DataFrame:
     """Distributed decode: one task per part file, Arrow batches out.
 
     Predicates are EXACT: partitions and row groups that can't match are
-    pruned via zone maps + blooms, and surviving row groups are
-    post-filtered inside the kernel (read_part_file exact=True), so the
-    returned DataFrame contains precisely the matching rows."""
-    files = prune_partitions(spark, out_dir, host_eq, ts_range)
+    pruned via zone maps + blooms (host and lang families), and surviving
+    row groups are post-filtered inside the kernel (read_part_file
+    exact=True), so the returned DataFrame contains precisely the
+    matching rows."""
+    files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq)
     # schema from the first footer (fixed schema across partitions)
     all_files = files or list_part_files(out_dir)
     if not all_files:
@@ -234,7 +249,7 @@ def scan(spark: SparkSession, out_dir: str,
         for batch in batches:
             for p in batch.column("path").to_pylist():
                 t = read_part_file(p, columns=cols, host_eq=host_eq,
-                                   ts_range=ts_range)
+                                   ts_range=ts_range, lang_eq=lang_eq)
                 for rb in t.to_batches(max_chunksize=16384):
                     yield rb
 

@@ -52,7 +52,8 @@ FOOTER_DDL = (
     "partition_id int, attempt_id string, status string, row_count long, "
     "codec_choices string, bytes_in long, bytes_out long, "
     "min_warc_ts timestamp, max_warc_ts timestamp, n_hosts int, "
-    "n_row_groups int, host_bloom binary, text_checksum binary, "
+    "n_row_groups int, host_bloom binary, lang_bloom binary, "
+    "text_checksum binary, "
     "sort_sec double, encode_sec double, meta_sec double, file string, "
     "committed_at double"
 )
@@ -199,6 +200,15 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
             "n_row_groups": pa.array([stats["n_row_groups"]], pa.int32()),
             "host_bloom": pa.array(
                 [partition_host_bloom(hosts, cfg.bloom_bits_per_key)],
+                pa.binary()),
+            # second partition-level bloom family (lang): lets a
+            # lang-filtered scan skip whole partitions where the value
+            # never occurs (reference: address AND topic families,
+            # build_parquet_idx.rs:89-171)
+            "lang_bloom": pa.array(
+                [partition_host_bloom(
+                    t["lang"].combine_chunks(), cfg.bloom_bits_per_key)
+                 if "lang" in t.column_names and t.num_rows else None],
                 pa.binary()),
             "text_checksum": pa.array([partition_checksum(t)], pa.binary()),
             "sort_sec": pa.array([round(t_sorted - t0, 3)], pa.float64()),

@@ -65,7 +65,8 @@ def content_bytes(arr) -> int:
 def write_part_file(path: str, table: pa.Table,
                     cfg: EngineConfig = DEFAULT,
                     zone_col: str = "warc_ts",
-                    host_col: str = "host") -> dict:
+                    host_col: str = "host",
+                    lang_col: str = "lang") -> dict:
     """Encode a (pre-sorted) table into a part file; atomic via temp+rename
     (mirror of the temp-dir + rename publish, skar_runner.rs:296-321).
 
@@ -119,6 +120,15 @@ def write_part_file(path: str, table: pa.Table,
                     import base64
                     rg["hbloom"] = base64.b64encode(partition_host_bloom(
                         hsl, cfg.bloom_bits_per_key)).decode()
+            if lang_col in sl.column_names and sl.num_rows:
+                # second bloom family: lang (skewed low-card column, not
+                # in the sort key so no zone maps — bloom over the row
+                # group's distinct values instead; mirror of the
+                # reference's address AND topic0..3 bloom families,
+                # build_parquet_idx.rs:89-171)
+                import base64
+                rg["lbloom"] = base64.b64encode(partition_host_bloom(
+                    sl[lang_col], cfg.bloom_bits_per_key)).decode()
             rowgroups.append(rg)
             if n == 0:
                 break
@@ -176,6 +186,7 @@ def _derive_host(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
 def read_part_file(path: str, columns: list[str] | None = None,
                    host_eq: str | None = None,
                    ts_range: tuple[int, int] | None = None,
+                   lang_eq: str | None = None,
                    exact: bool = True) -> pa.Table:
     """Decode a part file with projection + row-group pruning + (by
     default) EXACT predicate semantics.
@@ -197,13 +208,17 @@ def read_part_file(path: str, columns: list[str] | None = None,
 
     footer = read_footer(path)
     cols = columns or footer["columns"]
+    has_lang = "lang" in footer["columns"]
     need_host = exact and host_eq is not None
     need_ts = exact and ts_range is not None
+    need_lang = exact and lang_eq is not None and has_lang
     read_cols = list(cols)
     if need_host and "url" not in read_cols:
         read_cols.append("url")
     if need_ts and "warc_ts" not in read_cols:
         read_cols.append("warc_ts")
+    if need_lang and "lang" not in read_cols:
+        read_cols.append("lang")
     tables = []
     with open(path, "rb") as f:
         for rg in footer["rowgroups"]:
@@ -216,6 +231,10 @@ def read_part_file(path: str, columns: list[str] | None = None,
                 if "hbloom" in rg and not bloom_might_contain(
                         base64.b64decode(rg["hbloom"]), host_eq):
                     continue
+            if lang_eq is not None and "lbloom" in rg and \
+                    not bloom_might_contain(
+                        base64.b64decode(rg["lbloom"]), lang_eq):
+                continue
             arrays, names = [], []
             for c in read_cols:
                 off, ln, _codec = rg["chunks"][c]
@@ -237,6 +256,9 @@ def read_part_file(path: str, columns: list[str] | None = None,
             pc.greater_equal(ts, pa.scalar(ts_range[0], pa.int64())),
             pc.less(ts, pa.scalar(ts_range[1], pa.int64())))
         mask = m2 if mask is None else pc.and_(mask, m2)
+    if need_lang:
+        m3 = pc.equal(t["lang"], pa.scalar(lang_eq))
+        mask = m3 if mask is None else pc.and_(mask, m3)
     if mask is not None:
         t = t.filter(mask)
     return t.select(cols)

@@ -8,20 +8,23 @@ format:
     register(spark)
     df = spark.read.format("skar").load(out_dir)
     df.filter(F.col("host") == "www.example.com")        # pushed down
+    df.filter(F.col("lang") == "de")                     # pushed down
     df.filter(F.col("warc_ts") >= "2024-03-01")          # pushed down
     df.filter(F.col("url") == "https://a.com/x")         # prunes via host
 
 Filter pushdown is automatic (`pushFilters`): equality on the derived
-`host` column and range bounds on `warc_ts` are absorbed by the engine —
-partition pruning via the lineage index (zone maps + host blooms,
-executor-side probe), row-group pruning + EXACT residual filtering inside
-each read task. Equality on `url` additionally prunes via the host bloom
-(the filter itself is left for Spark to evaluate). This is the mirror of
-the reference's automatic constant pushdown through folder + row-group
-pruning (skar/src/query/handler.rs:144-158, data_provider.rs:185-333).
+`host` column, equality on `lang`, and range bounds on `warc_ts` are
+absorbed by the engine — partition pruning via the lineage index (zone
+maps + the host AND lang bloom families, executor-side probe), row-group
+pruning + EXACT residual filtering inside each read task. Equality on
+`url` additionally prunes via the host bloom (the filter itself is left
+for Spark to evaluate). This is the mirror of the reference's automatic
+constant pushdown through folder + row-group pruning with its address
+and topic bloom families (skar/src/query/handler.rs:144-158,
+data_provider.rs:185-333, build_parquet_idx.rs:89-171).
 
-Explicit `.option("host_eq"/"ts_lo"/"ts_hi"/"columns", ...)` remain as
-manual overrides with the same exact semantics.
+Explicit `.option("host_eq"/"lang_eq"/"ts_lo"/"ts_hi"/"columns", ...)`
+remain as manual overrides with the same exact semantics.
 """
 
 from __future__ import annotations
@@ -105,6 +108,7 @@ class SkarReader(DataSourceReader):
         self.path = options["path"]
         self.cols = cols
         self.host_eq = options.get("host_eq")
+        self.lang_eq = options.get("lang_eq")
         lo, hi = options.get("ts_lo"), options.get("ts_hi")
         self.ts_lo = int(lo) if lo else None
         self.ts_hi = int(hi) if hi else None
@@ -120,6 +124,12 @@ class SkarReader(DataSourceReader):
             if isinstance(f, EqualTo) and f.attribute == ("host",) \
                     and self.host_eq in (None, f.value):
                 self.host_eq = f.value
+            elif isinstance(f, EqualTo) and f.attribute == ("lang",) \
+                    and isinstance(f.value, str) \
+                    and self.lang_eq in (None, f.value):
+                # absorbed: partition pruning via the lang bloom family +
+                # row-group lbloom skip + exact residual in the read task
+                self.lang_eq = f.value
             elif isinstance(f, In) and f.attribute == ("host",):
                 self.prune_hosts.extend(
                     v for v in f.value if isinstance(v, str))
@@ -158,7 +168,7 @@ class SkarReader(DataSourceReader):
 
         files = prune_partitions_local(
             self.path, host_eq=self.host_eq, ts_range=self._ts_range(),
-            any_hosts=self.prune_hosts or None)
+            any_hosts=self.prune_hosts or None, lang_eq=self.lang_eq)
         return [SkarPartition(f) for f in files]
 
     def read(self, partition: SkarPartition):
@@ -178,7 +188,8 @@ class SkarReader(DataSourceReader):
         if "host" in want and "url" not in inner:
             inner.append("url")
         t = read_part_file(partition.path, columns=inner,
-                           host_eq=self.host_eq, ts_range=self._ts_range())
+                           host_eq=self.host_eq, ts_range=self._ts_range(),
+                           lang_eq=self.lang_eq)
         if "host" in want:
             t = t.append_column("host", _derive_host(t["url"]))
         t = t.select(want)

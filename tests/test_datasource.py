@@ -103,3 +103,18 @@ def test_content_matches_source(spark, encoded):
     src = synth_documents(spark, 4_000, partitions=8).select("url", "text")
     assert df.exceptAll(src).count() == 0
     assert src.exceptAll(df).count() == 0
+
+
+def test_filter_pushdown_lang_prunes_partitions(spark, encoded):
+    """.filter(col('lang') == rare) is absorbed by pushFilters: planning
+    prunes partitions via the lang bloom family and the read task applies
+    the equality exactly."""
+    df = spark.read.format("skar").load(encoded)
+    counts = {r.lang: r["count"] for r in
+              df.groupBy("lang").count().collect()}
+    rare = min(counts, key=counts.get)
+    full_parts = df.rdd.getNumPartitions()
+    filtered = df.filter(F.col("lang") == rare)
+    assert filtered.rdd.getNumPartitions() < full_parts
+    assert filtered.count() == counts[rare] > 0
+    assert set(r.lang for r in filtered.select("lang").collect()) == {rare}

@@ -163,3 +163,66 @@ def test_rowgroup_host_bloom_prunes(spark, tmp_path):
     assert miss.num_rows == 0
     hit = read_part_file(path, columns=["url"], host_eq="m.com")
     assert hit.num_rows == 30
+
+
+def test_lang_bloom_family_prunes_partitions(spark, encoded):
+    """Second bloom family (lang): a lang-equality scan prunes partitions
+    whose lang bloom can't contain the value, and returns exactly the
+    matching rows (mirror of the reference's topic bloom families,
+    build_parquet_idx.rs:89-171)."""
+    docs = synth_documents(spark, N_DOCS, partitions=8)
+    counts = {r.lang: r["count"] for r in
+              docs.groupBy("lang").count().collect()}
+    rare = min(counts, key=counts.get)
+    n_parts = len(list_part_files(encoded))
+    # a lang occurring k times lives in at most k partitions
+    assert counts[rare] < n_parts, "pick a rarer lang or more partitions"
+    kept = prune_partitions(spark, encoded, lang_eq=rare)
+    assert 0 < len(kept) < n_parts
+    # local (DataSource planning) pruning agrees
+    assert prune_partitions_local(encoded, lang_eq=rare) == kept
+    got = scan(spark, encoded, lang_eq=rare)
+    want = docs.filter(F.col("lang") == rare).select(*got.columns)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # an impossible lang prunes everything
+    assert prune_partitions_local(encoded, lang_eq="zz-XX") == []
+
+
+def test_rowgroup_lang_bloom_prunes(spark, tmp_path):
+    """Per-row-group lang blooms: a row group without the probed lang is
+    skipped even when the partition as a whole contains it."""
+    import base64
+
+    import pyarrow as pa
+
+    from skar_spark.engine.bloom import bloom_might_contain
+    from skar_spark.engine.partfile import (
+        read_footer,
+        read_part_file,
+        write_part_file,
+    )
+
+    langs = ["en"] * 50 + ["de"] * 50
+    t = pa.table({
+        "url": [f"https://h{i % 3}.com/p{i}" for i in range(100)],
+        "warc_ts": pa.array([T0_US + i * 1_000_000 for i in range(100)],
+                            pa.timestamp("us")),
+        "text": [f"text {i}" for i in range(100)],
+        "lang": langs,
+    })
+    path = str(tmp_path / "part-000000.skar")
+    cfg = EngineConfig(max_row_group_size=50)  # rg0 all-en, rg1 all-de
+    write_part_file(path, t, cfg)
+    footer = read_footer(path)
+    assert len(footer["rowgroups"]) == 2
+    rg0, rg1 = footer["rowgroups"]
+    assert "lbloom" in rg0 and "lbloom" in rg1
+    assert bloom_might_contain(base64.b64decode(rg0["lbloom"]), "en")
+    assert not bloom_might_contain(base64.b64decode(rg0["lbloom"]), "de")
+    assert not bloom_might_contain(base64.b64decode(rg1["lbloom"]), "en")
+    de = read_part_file(path, columns=["url", "lang"], lang_eq="de")
+    assert de.num_rows == 50
+    assert set(de["lang"].to_pylist()) == {"de"}
+    none = read_part_file(path, columns=["url"], lang_eq="fr")
+    assert none.num_rows == 0
