@@ -107,10 +107,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_count": textops.SQL_BPE_TOKEN_COUNT,
         "asof_join": relational.SQL_ASOF_JOIN,
         "range_join": relational.SQL_RANGE_JOIN,
-        "minhash": dedup.SQL_MINHASH,
-        "lsh_pairs": dedup.SQL_LSH_PAIRS,
+        "minhash": dedup.sql_minhash(),
+        "lsh_pairs": dedup.sql_lsh_pairs(),
         "simhash": dedup.SQL_SIMHASH,
-        "ngram_jaccard": dedup.SQL_NGRAM_JACCARD,
+        "ngram_jaccard": dedup.sql_ngram_jaccard(),
         "cosine_topk": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
         # engine path: the decoded output is projected to SQL-expressible

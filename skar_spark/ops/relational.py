@@ -22,6 +22,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """CPU-bound per-row kernels need cluster-wide parallelism: a small
+    bench input arrives as ONE parquet split, serializing the expensive
+    expression pipeline onto one core. Repartition ONLY when the scan
+    yields fewer splits than cores — at production scale parquet already
+    provides ≥ cores splits, so no shuffle is ever added at 10^12 docs."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # --- F1: range predicate (execution/mod.rs:341-353) -------------------------
 
 def q_range_filter(spark, sf):

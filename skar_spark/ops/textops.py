@@ -132,6 +132,8 @@ FROM (
 # --- document fingerprint (normalized-content hash) ----------------------------
 
 def q_doc_fingerprint(spark, sf):
+    # no _spread here: the md5 kernel is cheap relative to the shuffle a
+    # repartition would add (measured 1.35s direct vs 1.57s spread)
     d = load(spark, sf, "documents")
     norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
     return d.select("doc_id",

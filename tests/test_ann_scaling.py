@@ -99,3 +99,63 @@ def test_no_per_row_python_loops():
     allowed_files = {"fsst.py", "synth.py", "golden.py", "decode.py"}
     bad = [o for o in offenders if o.split(":")[0] not in allowed_files]
     assert not bad, f"per-row Python loops found: {bad}"
+
+
+# --- text LSH (lsh_pairs / ngram_jaccard) recall on planted near-dups ---------
+
+def test_lsh_rows_per_band_grow_with_n():
+    from skar_spark.ops.dedup import _LSH_BANDS, lsh_rows_per_band
+    assert lsh_rows_per_band(500) == 2
+    assert lsh_rows_per_band(100_000) == 2
+    assert lsh_rows_per_band(10_000_000) == 3
+    assert lsh_rows_per_band(10**12) == 4
+    assert _LSH_BANDS >= 4  # recall: 1-(1-s^r)^b ≥ 0.97 at s=0.8, r=2
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark, tmp_path_factory):
+    """Deterministic corpus with planted TEXT near-duplicates: 60 base
+    docs of 50 vocab words + 30 copies with 2 words substituted
+    (word-shingle Jaccard ≈ 0.78, char-4-gram Jaccard ≈ 0.9)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    rng = np.random.default_rng(11)
+    vocab = [f"word{i:03d}" for i in range(600)]
+    base = [list(rng.choice(vocab, size=50, replace=False))
+            for _ in range(60)]
+    docs = [" ".join(w) for w in base]
+    pairs = set()
+    for i in range(30):
+        w = list(base[i])
+        w[10], w[30] = "novelx", f"novel{i:02d}"
+        docs.append(" ".join(w))
+        pairs.add((i, 60 + i))
+    sf_dir = str(tmp_path_factory.mktemp("lshdocs"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+        "lang": pa.array(["en"] * len(docs), pa.string()),
+    }), os.path.join(sf_dir, "documents.parquet"))
+    return sf_dir, pairs, len(docs)
+
+
+def test_lsh_pairs_recall_on_planted_neardups(spark, planted_docs):
+    from skar_spark.ops.dedup import q_lsh_pairs
+    sf_dir, pairs, n = planted_docs
+    got = {(r.a, r.b) for r in q_lsh_pairs(spark, sf_dir).collect()}
+    recall = len(got & pairs) / len(pairs)
+    assert recall >= 0.9, f"lsh_pairs recall {recall} < 0.9"
+    # and the candidates actually prune (subquadratic volume)
+    assert len(got) < (n * (n - 1) / 2) * 0.25
+
+
+def test_ngram_jaccard_recall_on_planted_neardups(spark, planted_docs):
+    from skar_spark.ops.dedup import q_ngram_jaccard
+    sf_dir, pairs, _n = planted_docs
+    rows = q_ngram_jaccard(spark, sf_dir).collect()
+    got = {(r.a, r.b) for r in rows}
+    recall = len(got & pairs) / len(pairs)
+    assert recall >= 0.9, f"ngram_jaccard recall {recall} < 0.9"
+    # planted dups score high on exact char-4-gram verification
+    planted_scores = [r.jaccard for r in rows if (r.a, r.b) in pairs]
+    assert planted_scores and min(planted_scores) >= 0.5
