@@ -23,6 +23,9 @@ micro-batch (the analog of the hot→cold flush), with
 from __future__ import annotations
 
 import os
+import re
+import sys
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,16 +38,59 @@ from skar_spark.engine.encode import (
     plan_partitions,
 )
 
+
+def _quarantine_poison(exc: Exception, input_dir: str,
+                       out_dir: str) -> str | None:
+    """If `exc` names an unreadable landing file, move it to
+    `out_dir/quarantine/` and return its path; else None (transient).
+
+    A corrupt parquet file in the landing dir would otherwise fail the
+    SAME micro-batch on every retry AND every restart — the classic
+    poison message. Verification is positive: the file must exist under
+    input_dir and actually fail a pyarrow open (a readable file named in
+    a transient error is never quarantined).
+    """
+    import pyarrow.parquet as pq
+
+    root = os.path.realpath(input_dir)
+    for m in re.finditer(r"(/[^\s'\"]+?\.parquet)", str(exc)):
+        path = os.path.realpath(m.group(1))
+        if not (path.startswith(root + os.sep) and os.path.isfile(path)):
+            continue
+        try:
+            pq.ParquetFile(path)
+            continue  # opens fine → not the poison
+        except Exception:
+            pass
+        qdir = os.path.join(out_dir, "quarantine")
+        os.makedirs(qdir, exist_ok=True)
+        dest = os.path.join(qdir, os.path.basename(path))
+        os.replace(path, dest)
+        return dest
+    return None
+
+
 def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   cfg: EngineConfig = DEFAULT,
                   parts_per_batch: int = 8,
                   checkpoint_dir: str | None = None,
-                  max_files_per_trigger: int = 16):
+                  max_files_per_trigger: int = 16,
+                  max_retries: int = 3,
+                  backoff_base_sec: float = 0.5):
     """Continuously encode documents landing as parquet in `input_dir`.
 
     Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
     the query drains what is present and stops (good for tests/cron);
     a long-running deployment would drop availableNow.
+
+    Resilience (mirror of the reference source's exponential-backoff
+    retry + endpoint rate limiting, rpc-client/src/rpc_client.rs:66-84,
+    endpoint.rs:191-245): a failed micro-batch is retried in-place with
+    exponential backoff; an unreadable landing file (poison) is moved to
+    `out_dir/quarantine/` with a loud log and the batch re-runs without
+    it (`ignoreMissingFiles` lets the fixed file list skip the moved
+    file) — quarantining is not counted against the retry budget, and
+    every quarantined file is visible on disk, never silently dropped.
     """
     from skar_spark.synth import DOCS_DDL
 
@@ -56,9 +102,12 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     # (ingest/src/ingest.rs:18, 4-batch mpsc depth)
     stream = (spark.readStream.schema(DOCS_DDL)
               .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              # quarantined poison files are moved out from under an
+              # already-planned batch; skip them instead of failing
+              .option("ignoreMissingFiles", "true")
               .parquet(input_dir))
 
-    def process_batch(bdf: DataFrame, epoch_id: int) -> None:
+    def encode_batch(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
             return
         # INJECTIVE epoch namespacing (ADVICE r01: the old modular scheme
@@ -81,6 +130,32 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                                     ".skar"),
             FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))
+
+    def process_batch(bdf: DataFrame, epoch_id: int) -> None:
+        attempts = 0
+        while True:
+            try:
+                encode_batch(bdf, epoch_id)
+                return
+            except Exception as e:
+                # retrying an interrupted/stopped query is wrong — bail
+                if isinstance(e, (KeyboardInterrupt, SystemExit)):
+                    raise
+                poison = _quarantine_poison(e, input_dir, out_dir)
+                if poison is not None:
+                    # terminates: each pass removes one file from disk
+                    print(f"[stream_encode] epoch {epoch_id}: quarantined "
+                          f"poison file → {poison}", file=sys.stderr)
+                    continue
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                delay = backoff_base_sec * 2 ** (attempts - 1)
+                print(f"[stream_encode] epoch {epoch_id}: transient "
+                      f"failure ({type(e).__name__}), retry "
+                      f"{attempts}/{max_retries} in {delay:.1f}s",
+                      file=sys.stderr)
+                time.sleep(delay)
 
     return (stream.writeStream
             .foreachBatch(process_batch)

@@ -87,3 +87,63 @@ def test_backpressure_bounds_microbatch_volume(spark, tmp_path):
     assert max(per_epoch.values()) <= 4 * per_file  # bounded per epoch
     # injective namespacing: no part file collided across epochs
     assert scan(spark, out).count() == 12 * per_file
+
+
+def test_poison_file_quarantined_stream_survives(spark, tmp_path):
+    """Ingest resilience: a corrupt landing file must not kill the
+    stream or poison its micro-batch forever — it is moved to
+    out/quarantine with a log, the batch re-runs without it, and the
+    good files' rows land exactly once."""
+    import os
+
+    d = tmp_path / "landing_poison"
+    d.mkdir()
+    per_file = 300
+    for i in range(3):
+        pq.write_table(
+            synth_batch(np.arange(i * per_file, (i + 1) * per_file)),
+            str(d / f"good{i}.parquet"))
+    poison = d / "corrupt.parquet"
+    poison.write_bytes(b"PAR1 this is not really a parquet file \xff\x00" * 40)
+
+    out = str(tmp_path / "poison_out")
+    q = stream_encode(spark, str(d), out, CFG, parts_per_batch=2)
+    q.awaitTermination(180)
+
+    # the poison file was moved aside, visibly — never silently dropped
+    assert not poison.exists()
+    assert os.path.isfile(os.path.join(out, "quarantine", "corrupt.parquet"))
+    # every good row landed exactly once
+    dec = scan(spark, out)
+    assert dec.count() == 3 * per_file
+    src = spark.read.parquet(str(d)).select("url", "text")
+    back = dec.select("url", "text")
+    assert src.exceptAll(back).count() == 0
+    assert back.exceptAll(src).count() == 0
+
+
+def test_transient_failure_retried_with_backoff(spark, tmp_path, monkeypatch):
+    """A failure that names no unreadable file is retried with backoff
+    and succeeds once the fault clears."""
+    import skar_spark.streaming as streaming_mod
+
+    d = tmp_path / "landing_transient"
+    d.mkdir()
+    pq.write_table(synth_batch(np.arange(0, 400)), str(d / "a.parquet"))
+    out = str(tmp_path / "transient_out")
+
+    real_plan = streaming_mod.plan_partitions
+    fails = {"n": 2}
+
+    def flaky_plan(*args, **kwargs):
+        if fails["n"] > 0:
+            fails["n"] -= 1
+            raise RuntimeError("simulated transient planner fault")
+        return real_plan(*args, **kwargs)
+
+    monkeypatch.setattr(streaming_mod, "plan_partitions", flaky_plan)
+    q = stream_encode(spark, str(d), out, CFG, parts_per_batch=2,
+                      max_retries=3, backoff_base_sec=0.05)
+    q.awaitTermination(120)
+    assert fails["n"] == 0  # both injected faults were consumed by retries
+    assert scan(spark, out).count() == 400
