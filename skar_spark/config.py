@@ -30,9 +30,13 @@ class EngineConfig:
     selector_margin_fsst: float = 0.95        # fsst must beat plain by 5%
 
     # --- FSST-style string codec ---
-    # 32 symbols is the measured speed/size sweet spot: ~20% smaller than
-    # plain+zstd9 on prose at ~1/3 the encode cost of 96 symbols
-    fsst_max_symbols: int = 32                # codes drawn from unused byte values
+    # 12 symbols is the measured throughput/size operating point (each
+    # symbol costs one full-buffer replace pass at encode AND decode):
+    # on bench prose, 12 sym + zstd9 = 0.93× the plain+zstd9 golden size
+    # at 17 MB/s/core vs 32 sym = 0.82× at 10.8 MB/s/core — the encode
+    # GB/s criterion values the pass count more than the last 10% size
+    # (both are well under the ≤1.0×-of-golden bound)
+    fsst_max_symbols: int = 12                # codes drawn from unused byte values
     fsst_sample_bytes: int = 1 << 16          # symbol table built on ≤64 KiB sample
     fsst_min_pair_count_frac: float = 1 / 400.0  # stop when round gain < 0.25%
     selector_sample_bytes: int = 1 << 18      # byte cap on string trial samples
