@@ -24,7 +24,10 @@ and topic bloom families (skar/src/query/handler.rs:144-158,
 data_provider.rs:185-333, build_parquet_idx.rs:89-171).
 
 Explicit `.option("host_eq"/"lang_eq"/"ts_lo"/"ts_hi"/"columns", ...)`
-remain as manual overrides with the same exact semantics.
+remain as manual overrides with the same exact semantics. Bounded
+pagination (the reference's `next_block` cursor, handler.rs:252-258):
+`.option("cursor", k).option("page_files", m)`, or `read_paged(...)`
+which also returns the resume cursor.
 """
 
 from __future__ import annotations
@@ -112,6 +115,13 @@ class SkarReader(DataSourceReader):
         lo, hi = options.get("ts_lo"), options.get("ts_hi")
         self.ts_lo = int(lo) if lo else None
         self.ts_hi = int(hi) if hi else None
+        # paged read (the reference's next_block cursor analog,
+        # query/handler.rs:252-258): cursor = numeric part index to start
+        # at, page_files = max partitions this read returns. Use
+        # read_paged() to also get the resume cursor.
+        self.cursor = int(options.get("cursor", 0))
+        pf = options.get("page_files")
+        self.page_files = int(pf) if pf else None
         self.prune_hosts: list[str] = []  # prune-only (url equality)
 
     # -- filter pushdown (planning time, driver side) ------------------
@@ -169,6 +179,7 @@ class SkarReader(DataSourceReader):
         files = prune_partitions_local(
             self.path, host_eq=self.host_eq, ts_range=self._ts_range(),
             any_hosts=self.prune_hosts or None, lang_eq=self.lang_eq)
+        files = _page_slice(files, self.cursor, self.page_files)
         return [SkarPartition(f) for f in files]
 
     def read(self, partition: SkarPartition):
@@ -194,6 +205,55 @@ class SkarReader(DataSourceReader):
             t = t.append_column("host", _derive_host(t["url"]))
         t = t.select(want)
         yield from t.to_batches(max_chunksize=16384)
+
+
+def _page_slice(files: list[str], cursor: int,
+                page_files: int | None) -> list[str]:
+    """Deterministic page of a pruned file list: numeric part-index order
+    (streaming epoch names sort wrong lexicographically), start at
+    `cursor`, at most `page_files` entries."""
+    from skar_spark.engine.decode import _file_part_index
+
+    files = sorted((f for f in files if _file_part_index(f) >= cursor),
+                   key=_file_part_index)
+    if page_files is not None:
+        return files[:page_files]
+    return files
+
+
+def read_paged(spark, path: str, cursor: int = 0, page_files: int = 64,
+               **options) -> tuple:
+    """Bounded partial read through the skar DataSource with a resume
+    cursor — the `next_block` pagination analog
+    (/root/reference/skar/src/query/handler.rs:252-258) for batch
+    callers. Returns (DataFrame over at most `page_files` partitions,
+    next_cursor); next_cursor is None when this page completes the scan,
+    else pass it back to continue. The page membership is derived with
+    the SAME pruning + ordering the reader's planner uses, so the
+    DataFrame and the cursor always agree. Wall-clock budgeting
+    (time_limit_ms) lives in engine.decode.scan_paged, which collects
+    incrementally; a DataFrame-returning API can only bound volume."""
+    from skar_spark.engine.decode import (
+        _file_part_index,
+        prune_partitions_local,
+    )
+
+    ts_range = None
+    if options.get("ts_lo") or options.get("ts_hi"):
+        ts_range = (int(options.get("ts_lo") or TS_MIN),
+                    int(options.get("ts_hi") or TS_MAX))
+    pruned = prune_partitions_local(
+        path, host_eq=options.get("host_eq"), ts_range=ts_range,
+        lang_eq=options.get("lang_eq"))
+    remaining = _page_slice(pruned, cursor, None)
+    page = remaining[:page_files]
+    nxt = (_file_part_index(remaining[len(page)])
+           if len(remaining) > len(page) else None)
+    reader = spark.read.format("skar").option("cursor", str(cursor)) \
+        .option("page_files", str(page_files))
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load(path), nxt
 
 
 def register(spark) -> None:

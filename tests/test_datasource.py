@@ -118,3 +118,30 @@ def test_filter_pushdown_lang_prunes_partitions(spark, encoded):
     assert filtered.rdd.getNumPartitions() < full_parts
     assert filtered.count() == counts[rare] > 0
     assert set(r.lang for r in filtered.select("lang").collect()) == {rare}
+
+
+def test_paged_read_cursor_resumes_to_completion(spark, encoded):
+    """DataSource pagination (the next_block cursor analog): bounded
+    pages, resume via cursor, full coverage with no duplicates."""
+    from skar_spark.sources import read_paged
+
+    full = spark.read.format("skar").load(encoded)
+    total = full.count()
+    full_parts = full.rdd.getNumPartitions()
+    assert full_parts > 2
+
+    seen = 0
+    pages = 0
+    cursor = 0
+    urls = set()
+    while cursor is not None:
+        df, cursor = read_paged(spark, encoded, cursor=cursor, page_files=2)
+        assert df.rdd.getNumPartitions() <= 2
+        rows = df.select("url").collect()
+        seen += len(rows)
+        urls.update(r.url for r in rows)
+        pages += 1
+        assert pages < 100
+    assert pages >= (full_parts + 1) // 2
+    assert seen == total          # no duplicates (set size == row count)
+    assert len(urls) == total
