@@ -43,8 +43,10 @@ def main() -> None:
     ap.add_argument("--batch-partitions", type=int, default=None,
                     help="checkpoint granularity; default = all partitions "
                          "in one batch (finest resume = smaller values)")
-    ap.add_argument("--zstd-level", type=int, default=9)
-    ap.add_argument("--fsst-symbols", type=int, default=32)
+    # None → follow EngineConfig's defaults (the shipping operating
+    # point), so benchmark jobs always measure the deployed knobs
+    ap.add_argument("--zstd-level", type=int, default=None)
+    ap.add_argument("--fsst-symbols", type=int, default=None)
     ap.add_argument("--scheme", choices=["hash", "day_hash"], default="hash",
                     help="partition layout: flat host-hash, or "
                          "day(warc_ts) x bucket(host) for time pruning")
@@ -65,12 +67,14 @@ def main() -> None:
 
     spark = get_spark(cpus=args.cpus, app="skar_encode_job",
                       master=args.master)
+    overrides = {k: v for k, v in (
+        ("zstd_level", args.zstd_level),
+        ("fsst_max_symbols", args.fsst_symbols)) if v is not None}
     cfg = EngineConfig(
         target_partition_rows=args.target_partition_rows,
         salt_threshold_rows=args.target_partition_rows,
-        zstd_level=args.zstd_level,
-        fsst_max_symbols=args.fsst_symbols,
         batch_partitions=args.batch_partitions or (args.partitions or 1 << 30),
+        **overrides,
     )
 
     if args.input.startswith("synth:"):

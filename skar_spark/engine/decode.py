@@ -305,6 +305,7 @@ def scan_paged(spark: SparkSession, out_dir: str,
                columns: list[str] | None = None,
                host_eq: str | None = None,
                ts_range: tuple[int, int] | None = None,
+               lang_eq: str | None = None,
                cursor: int = 0,
                time_limit_ms: int | None = 5_000,
                page_files: int = 64):
@@ -322,7 +323,7 @@ def scan_paged(spark: SparkSession, out_dir: str,
     """
     import time as _time
 
-    files = prune_partitions(spark, out_dir, host_eq, ts_range)
+    files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq)
     # cursor order must follow the numeric part index, not lexicographic
     # file order: streaming names (part-e{epoch}-{pid}) sort e10 < e2
     # textually while pids grow with epoch, which would make a resumed
@@ -346,7 +347,7 @@ def scan_paged(spark: SparkSession, out_dir: str,
             for batch in batches:
                 for p in batch.column("path").to_pylist():
                     t = read_part_file(p, columns=cols, host_eq=host_eq,
-                                       ts_range=ts_range)
+                                       ts_range=ts_range, lang_eq=lang_eq)
                     for rb in t.to_batches(max_chunksize=16384):
                         yield rb
 

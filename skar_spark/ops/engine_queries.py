@@ -122,12 +122,12 @@ def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_engine_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-side projection + aggregation over the encoded table
-    (column-pruned scan: only url/lang chunks are decoded). Hash-verified
+    (column-pruned scan: only the lang chunks are decoded). Hash-verified
     against the same aggregate over the raw parquet."""
     from skar_spark.engine.decode import scan
 
     out = _ensure_encoded(spark, sf_dir)
-    dec = scan(spark, out, columns=["url", "lang"])
+    dec = scan(spark, out, columns=["lang"])  # single-chunk decode
     return (dec.groupBy("lang").agg(F.count("*").alias("n_docs"))
             .orderBy(F.col("n_docs").desc(), F.col("lang")))
 
