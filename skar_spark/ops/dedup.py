@@ -398,7 +398,12 @@ def _plane_signs(k: int) -> list[float]:
 
 def _bucket_expr(table: int, planes: int):
     """Bucket id for one hash table: sign bits of `planes` hyperplane
-    dot products (JVM-side zip_with over a literal sign array)."""
+    dot products (JVM-side zip_with over a literal sign array).
+
+    Kept as the reference implementation of the bucket semantics (and
+    for plan tests); the hot path uses `_bucket_all_tables` — the JVM
+    expression tree for tables×planes×64-literal arrays takes seconds of
+    whole-stage-codegen COMPILATION alone at query start."""
     bits = []
     for k in range(planes):
         signs = F.array(*[F.lit(s)
@@ -407,6 +412,57 @@ def _bucket_expr(table: int, planes: int):
                           F.lit(0.0), lambda acc, x: acc + x)
         bits.append(F.when(dot > 0, F.lit(1 << k)).otherwise(F.lit(0)))
     return sum(bits[1:], bits[0])
+
+
+def _bucket_all_tables(base, planes: int):
+    """(vec_id, v) → (vec_id, v, tbl, bucket) for all _ANN_TABLES in ONE
+    Arrow-batched numpy kernel.
+
+    The per-plane dot product accumulates SEQUENTIALLY over the 64 dims
+    (vectorized across rows) so the float64 rounding order is identical
+    to both Spark's fold-left `aggregate` and DuckDB's `list_sum` — the
+    sign of a knife-edge dot product can therefore never disagree with
+    the oracle. numpy matmul/np.sum would use pairwise summation and
+    could flip a bucket bit.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    signs = np.array([[_plane_signs(t * planes + k)
+                       for k in range(planes)]
+                      for t in range(_ANN_TABLES)])  # (T, P, _DIM)
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vids = batch.column("vec_id")
+            lst = batch.column("v")
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            V = flat.reshape(n, _DIM)
+            out_v = pa.ListArray.from_arrays(
+                pa.array(range(0, (n + 1) * _DIM, _DIM), pa.int32()),
+                pa.array(flat, pa.float64()))
+            for t in range(_ANN_TABLES):
+                bucket = np.zeros(n, np.int64)
+                for k in range(planes):
+                    acc = np.zeros(n, np.float64)
+                    sk = signs[t, k]
+                    for i in range(_DIM):  # sequential over the 64 dims
+                        # (fixed-width metadata loop, not data rows) —
+                        # fold-left order matches aggregate()/list_sum
+                        acc += V[:, i] * sk[i]
+                    bucket |= (acc > 0).astype(np.int64) << k
+                yield pa.record_batch({
+                    "vec_id": vids,
+                    "v": out_v,
+                    "tbl": pa.array(np.full(n, t, dtype=np.int32)),
+                    "bucket": pa.array(bucket.astype(np.int32)),
+                })
+
+    return base.mapInArrow(
+        kernel, schema="vec_id long, v array<double>, tbl int, bucket int")
 
 
 def q_ann_lsh(spark, sf):
@@ -428,11 +484,7 @@ def q_ann_lsh(spark, sf):
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
 
-    bucketed = None
-    for t in range(_ANN_TABLES):
-        bt = base.select("vec_id", "v", F.lit(t).alias("tbl"),
-                         _bucket_expr(t, planes).alias("bucket"))
-        bucketed = bt if bucketed is None else bucketed.unionAll(bt)
+    bucketed = _bucket_all_tables(_spread(spark, base), planes)
 
     # per-bucket cap, deterministic (vec_id order) and mirrored in the
     # oracle; dropped rows are counted and logged — never silent.

@@ -159,3 +159,31 @@ def test_ngram_jaccard_recall_on_planted_neardups(spark, planted_docs):
     # planted dups score high on exact char-4-gram verification
     planted_scores = [r.jaccard for r in rows if (r.a, r.b) in pairs]
     assert planted_scores and min(planted_scores) >= 0.5
+
+
+def test_bucket_kernel_matches_expression(spark, planted):
+    """The Arrow-batched bucket kernel must agree EXACTLY with the JVM
+    expression reference (_bucket_expr) — same fold-left float64
+    summation order, so no knife-edge sign flips."""
+    from pyspark.sql import functions as F
+
+    from skar_spark.ops.dedup import (
+        _ANN_TABLES,
+        _bucket_all_tables,
+        _bucket_expr,
+        n_planes,
+    )
+
+    sf_dir, _pairs, _ = planted
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = n_planes(300)
+    base = e.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("v"))
+    got = {(r.vec_id, r.tbl): r.bucket
+           for r in _bucket_all_tables(base, planes).collect()}
+    for t in range(_ANN_TABLES):
+        want = {(r.vec_id, t): r.bucket for r in base.select(
+            "vec_id", _bucket_expr(t, planes).alias("bucket")).collect()}
+        assert {k: v for k, v in got.items() if k[1] == t} == want
