@@ -50,6 +50,18 @@ class EngineConfig:
     #     reference skar/src/db/mod.rs:68-86) ---
     batch_partitions: int = 64                # partitions committed per job batch
 
+    # --- snapshots (Iceberg-style time travel, implemented natively on
+    #     the lineage table; no analog in the reference — its reorg
+    #     walk-back deletes superseded folders, skar_runner.rs:160-232) ---
+    # When True, a superseding attempt (resume-verify re-encode,
+    # reencode_late) writes a NEW attempt-tagged part file instead of
+    # overwriting in place, so every committed attempt remains readable:
+    # scan(..., as_of=ts) reads the table as of any past commit time and
+    # vacuum() expires superseded snapshots. When False (default) the
+    # write path overwrites atomically and only the latest snapshot
+    # exists on disk.
+    retain_superseded: bool = False
+
     # --- bloom (mirror of sbbf 8 bits/key,
     #     reference skar/src/build_parquet_idx.rs:96-115,181-189) ---
     bloom_bits_per_key: int = 8

@@ -74,16 +74,27 @@ def _bloom_probe_udf(hosts: list[str]):
 def prune_partitions(spark: SparkSession, out_dir: str,
                      host_eq: str | None = None,
                      ts_range: tuple[int, int] | None = None,
-                     lang_eq: str | None = None) -> list[str]:
+                     lang_eq: str | None = None,
+                     as_of: float | None = None) -> list[str]:
     """Distributed partition pruning via lineage zone maps + the host and
     lang bloom families — the mirror of the folder index seek
     (db/mod.rs:217-305) + prune_query folder skipping (handler.rs:144-158).
     Bloom blobs are probed executor-side; the driver only ever sees
-    surviving path strings."""
+    surviving path strings.
+
+    `as_of` selects the snapshot view (latest attempt committed at or
+    before that unix time per partition — Iceberg time travel on tables
+    encoded with ``retain_superseded``). On a snapshot-retaining table
+    the surviving set always comes from lineage: superseded attempt
+    files still on disk are never returned."""
+    from skar_spark.engine.encode import is_retained
+
     files = list_part_files(out_dir)
-    lin = read_lineage(spark, out_dir, latest=True)
-    if lin is None or (host_eq is None and ts_range is None
-                       and lang_eq is None):
+    no_filters = host_eq is None and ts_range is None and lang_eq is None
+    if no_filters and as_of is None and not is_retained(out_dir):
+        return files
+    lin = read_lineage(spark, out_dir, latest=True, as_of=as_of)
+    if lin is None:
         return files
     sel = lin.filter(_lineage_keep_expr(host_eq, ts_range))
     if host_eq is not None:
@@ -91,7 +102,14 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     if lang_eq is not None and "lang_bloom" in lin.columns:
         sel = sel.filter(_bloom_probe_udf([lang_eq])(F.col("lang_bloom")))
     survived = {r.file for r in sel.select("file").collect()}
-    in_lineage = {r.file for r in lin.select("file").collect()}
+    if is_retained(out_dir) or as_of is not None:
+        # a file from ANY attempt that is not in the selected view is
+        # superseded / outside the snapshot — it must not be read
+        full = read_lineage(spark, out_dir)
+        in_lineage = {r.file for r in
+                      full.select("file").distinct().collect()}
+    else:
+        in_lineage = {r.file for r in lin.select("file").collect()}
     # files with no lineage row can't be pruned; keep them
     return [f for f in files if f in survived or f not in in_lineage]
 
@@ -100,7 +118,8 @@ def prune_partitions_local(out_dir: str,
                            host_eq: str | None = None,
                            ts_range: tuple[int, int] | None = None,
                            any_hosts: list[str] | None = None,
-                           lang_eq: str | None = None
+                           lang_eq: str | None = None,
+                           as_of: float | None = None
                            ) -> list[str]:
     """Single-process partition pruning for contexts that cannot launch a
     Spark job (the Python DataSource planning worker). The analog of the
@@ -118,13 +137,14 @@ def prune_partitions_local(out_dir: str,
     import pyarrow.dataset as pads
 
     from skar_spark.engine.bloom import bloom_might_contain
-    from skar_spark.engine.encode import lineage_dir
+    from skar_spark.engine.encode import is_retained, lineage_dir
 
     files = list_part_files(out_dir)
     probes = list(any_hosts or [])
     if host_eq is not None:
         probes = [host_eq]
-    if not probes and ts_range is None and lang_eq is None:
+    if (not probes and ts_range is None and lang_eq is None
+            and as_of is None and not is_retained(out_dir)):
         return files
     try:
         d = pads.dataset(lineage_dir(out_dir), format="parquet")
@@ -142,6 +162,7 @@ def prune_partitions_local(out_dir: str,
     if not {"file", "min_warc_ts", "max_warc_ts"} <= names:
         return files
     latest: dict[int, tuple[float, str, bool]] = {}
+    seen_files: set[str] = set()  # every file ANY attempt ever committed
     for batch in d.to_batches(columns=cols):
         n = batch.num_rows
         if n == 0:
@@ -162,6 +183,10 @@ def prune_partitions_local(out_dir: str,
         blooms = batch.column("host_bloom") if probes else None
         lblooms = batch.column("lang_bloom") if has_lang_bloom else None
         for i in range(n):  # per PARTITION metadata row, not per data row
+            seen_files.add(fnames[i])
+            ts = commits[i] if commits[i] is not None else float("-inf")
+            if as_of is not None and ts > as_of:
+                continue  # attempt is outside the requested snapshot
             k = bool(keep[i])
             if k and probes:
                 b = blooms[i].as_py()
@@ -170,13 +195,14 @@ def prune_partitions_local(out_dir: str,
             if k and has_lang_bloom:
                 b = lblooms[i].as_py()
                 k = b is None or bloom_might_contain(bytes(b), lang_eq)
-            ts = commits[i] if commits[i] is not None else float("-inf")
             prev = latest.get(pids[i])
             if prev is None or ts >= prev[0]:
                 latest[pids[i]] = (ts, fnames[i], k)
     survived = {f for (_ts, f, k) in latest.values() if k}
-    in_lineage = {f for (_ts, f, _k) in latest.values()}
-    return [f for f in files if f in survived or f not in in_lineage]
+    # superseded attempts' files (tracked via seen_files, which spans ALL
+    # lineage rows — not just each partition's winner) are never returned;
+    # only files lineage never recorded bypass pruning
+    return [f for f in files if f in survived or f not in seen_files]
 
 
 def prune_selections(spark: SparkSession, out_dir: str,
@@ -224,15 +250,22 @@ def scan(spark: SparkSession, out_dir: str,
          columns: list[str] | None = None,
          host_eq: str | None = None,
          ts_range: tuple[int, int] | None = None,
-         lang_eq: str | None = None) -> DataFrame:
+         lang_eq: str | None = None,
+         as_of: float | None = None) -> DataFrame:
     """Distributed decode: one task per part file, Arrow batches out.
 
     Predicates are EXACT: partitions and row groups that can't match are
     pruned via zone maps + blooms (host and lang families), and surviving
     row groups are post-filtered inside the kernel (read_part_file
     exact=True), so the returned DataFrame contains precisely the
-    matching rows."""
-    files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq)
+    matching rows.
+
+    `as_of` (unix seconds) time-travels to the snapshot committed at or
+    before that instant — meaningful on tables encoded with
+    ``EngineConfig.retain_superseded=True`` (superseded attempt files are
+    kept until ``vacuum``); before the first commit the scan is empty."""
+    files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq,
+                             as_of=as_of)
     # schema from the first footer (fixed schema across partitions)
     all_files = files or list_part_files(out_dir)
     if not all_files:

@@ -263,16 +263,27 @@ def load_salt_map(spark: SparkSession, out_dir: str) -> DataFrame | None:
 
 
 def read_lineage(spark: SparkSession, out_dir: str,
-                 latest: bool = False) -> DataFrame | None:
+                 latest: bool = False,
+                 as_of: float | None = None) -> DataFrame | None:
     """Read the lineage table. `latest=True` keeps only the newest
     committed attempt per partition_id (re-encodes after a failed
     validation supersede their predecessors by `committed_at`), so
-    aggregates and pruning never double-count a partition."""
+    aggregates and pruning never double-count a partition.
+
+    `as_of` (unix seconds) restricts to attempts committed at or before
+    that instant — with `latest=True` this is the snapshot view of the
+    table as of that time (Iceberg time-travel semantics, native on the
+    lineage table; usable for reads when the table was encoded with
+    ``EngineConfig.retain_superseded=True`` so superseded part files
+    still exist)."""
     path = lineage_dir(out_dir)
     try:
         lin = spark.read.parquet(path)
     except Exception:
         return None
+    if as_of is not None:
+        lin = lin.filter(F.col("committed_at").isNotNull()
+                         & (F.col("committed_at") <= F.lit(float(as_of))))
     if not latest:
         return lin
     from pyspark.sql.window import Window
@@ -281,6 +292,89 @@ def read_lineage(spark: SparkSession, out_dir: str,
         F.col("attempt_id").desc())
     return (lin.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def _kernel_name_fmt(cfg: EngineConfig, attempt: str, out_dir: str) -> str:
+    """Part-file namespace for one encode attempt. With
+    ``retain_superseded`` every attempt gets its own file names (the pid
+    stays the trailing integer so paging cursors keep working) and the
+    table is marked snapshot-retaining; otherwise attempts overwrite the
+    canonical per-pid name atomically."""
+    if not cfg.retain_superseded:
+        return "part-{pid:06d}.skar"
+    mark_retained(out_dir)
+    return f"part-a{attempt}-{{pid:06d}}.skar"
+
+
+def _retain_marker(out_dir: str) -> str:
+    return os.path.join(_meta_dir(out_dir), "retain")
+
+
+def mark_retained(out_dir: str) -> None:
+    os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    with open(_retain_marker(out_dir), "w") as f:
+        f.write("retain_superseded\n")
+
+
+def is_retained(out_dir: str) -> bool:
+    """True if any attempt on this table retained superseded part files
+    (readers must then resolve the file set through lineage, never the
+    raw directory listing)."""
+    return os.path.exists(_retain_marker(out_dir))
+
+
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Snapshot log: one row per encode attempt (the Iceberg snapshot
+    list analog, derived from lineage rather than separate metadata
+    files). `committed_at` of a row is the earliest commit in that
+    attempt — pass any time ≥ it to ``scan(as_of=...)`` /
+    ``read_lineage(as_of=...)`` to time-travel to that snapshot."""
+    lin = read_lineage(spark, out_dir)
+    if lin is None:
+        raise FileNotFoundError(f"no lineage under {out_dir}")
+    return (lin.groupBy("attempt_id")
+            .agg(F.min("committed_at").alias("committed_at"),
+                 F.max("committed_at").alias("last_committed_at"),
+                 F.count("*").alias("n_partitions"),
+                 F.sum("row_count").alias("row_count"))
+            .orderBy("committed_at"))
+
+
+def vacuum(spark: SparkSession, out_dir: str) -> list[str]:
+    """Expire superseded snapshots (the Iceberg ``expire_snapshots`` +
+    ``remove_orphan_files`` analog): rewrite the lineage table to the
+    latest committed attempt per partition and delete part files no
+    snapshot references any more. Returns the deleted file paths.
+    Time-travel to commits older than each partition's latest attempt is
+    no longer possible afterwards; the current view is untouched. Files
+    in the parts directory that lineage never recorded are left alone."""
+    import shutil
+
+    lin_all = read_lineage(spark, out_dir)
+    if lin_all is None:
+        return []
+    latest = read_lineage(spark, out_dir, latest=True)
+    keep = {r.file for r in latest.select("file").distinct().collect()}
+    ever = {r.file for r in lin_all.select("file").distinct().collect()}
+    dead = sorted(ever - keep)
+
+    # rewrite lineage to the latest view via temp-dir + rename (the same
+    # atomic-publish discipline as part files)
+    path = lineage_dir(out_dir)
+    tmp, old = path + ".vacuum", path + ".expired"
+    shutil.rmtree(tmp, ignore_errors=True)
+    latest.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    for f in dead:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    return dead
 
 
 def completed_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
@@ -442,7 +536,9 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         # the Python boundary twice (map pack + kernel unpack), which
         # costs more than the JVM's row machinery saves — rows win.
         footers = sub.groupBy("part_id").applyInArrow(
-            _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+            _encode_kernel(out_dir, cfg, attempt,
+                           _kernel_name_fmt(cfg, attempt, out_dir)),
+            FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
               f"({len(batch_ids)} parts)", file=sys.stderr)
@@ -492,7 +588,9 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
     partitions keep byte-identical content and are not touched. Affected
     part files are atomically overwritten and their lineage rows
     superseded by `committed_at` (readers using the latest view never
-    see a partition twice).
+    see a partition twice). With ``cfg.retain_superseded`` the previous
+    attempt's files are kept instead, so the pre-rollback snapshot stays
+    readable via ``scan(as_of=...)`` until ``vacuum``.
 
     Late rows that precede the table's day-range start are rejected —
     the analog of the reference's bounded rollback depth
@@ -519,6 +617,8 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
     sub = planned_full.filter(F.col("part_id").isin(affected))
     attempt = "late-" + uuid.uuid4().hex[:8]
     footers = sub.groupBy("part_id").applyInArrow(
-        _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+        _encode_kernel(out_dir, cfg, attempt,
+                       _kernel_name_fmt(cfg, attempt, out_dir)),
+        FOOTER_DDL)
     footers.write.mode("append").parquet(lineage_dir(out_dir))
     return read_lineage(spark, out_dir, latest=True)

@@ -27,7 +27,11 @@ Explicit `.option("host_eq"/"lang_eq"/"ts_lo"/"ts_hi"/"columns", ...)`
 remain as manual overrides with the same exact semantics. Bounded
 pagination (the reference's `next_block` cursor, handler.rs:252-258):
 `.option("cursor", k).option("page_files", m)`, or `read_paged(...)`
-which also returns the resume cursor.
+which also returns the resume cursor. Snapshot time travel on tables
+encoded with ``EngineConfig.retain_superseded``:
+`.option("as_of", unix_seconds)` resolves the file set to the snapshot
+committed at or before that instant (Iceberg time-travel semantics,
+native on the lineage table — see engine.encode.snapshots/vacuum).
 """
 
 from __future__ import annotations
@@ -122,6 +126,11 @@ class SkarReader(DataSourceReader):
         self.cursor = int(options.get("cursor", 0))
         pf = options.get("page_files")
         self.page_files = int(pf) if pf else None
+        # snapshot time travel (unix seconds) — tables encoded with
+        # EngineConfig.retain_superseded keep superseded attempt files,
+        # so the planner can resolve any past snapshot from lineage
+        ao = options.get("as_of")
+        self.as_of = float(ao) if ao else None
         self.prune_hosts: list[str] = []  # prune-only (url equality)
 
     # -- filter pushdown (planning time, driver side) ------------------
@@ -178,7 +187,8 @@ class SkarReader(DataSourceReader):
 
         files = prune_partitions_local(
             self.path, host_eq=self.host_eq, ts_range=self._ts_range(),
-            any_hosts=self.prune_hosts or None, lang_eq=self.lang_eq)
+            any_hosts=self.prune_hosts or None, lang_eq=self.lang_eq,
+            as_of=self.as_of)
         files = _page_slice(files, self.cursor, self.page_files)
         return [SkarPartition(f) for f in files]
 
