@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "cosine_topk": dedup.q_cosine_topk,
         "ann_lsh": dedup.q_ann_lsh,
+        # end-to-end dedup decisions (survivor sets, not just pairs)
+        "dedup_near": dedup.q_dedup_near,
+        "embed_dedup": dedup.q_embed_dedup,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -113,6 +116,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.sql_ngram_jaccard(),
         "cosine_topk": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
+        "dedup_near": dedup.sql_dedup_near(),
+        "embed_dedup": dedup.sql_embed_dedup(),
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

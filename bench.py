@@ -42,7 +42,7 @@ def main() -> None:
         "left_join", "sessionize", "json_extract",
         "dedup_exact", "token_count", "quality_score", "doc_fingerprint",
         "minhash", "simhash", "lsh_pairs", "ngram_jaccard",
-        "cosine_topk", "ann_lsh",
+        "cosine_topk", "ann_lsh", "dedup_near", "embed_dedup",
     ]
     # untimed warm-up: session/JIT/Arrow startup otherwise lands entirely
     # in whichever query runs first (tpch_q1 absorbed ~8s in BENCH_r01)

@@ -303,6 +303,31 @@ SELECT a, b, jaccard FROM (
 WHERE jaccard >= {_NGJ_THRESHOLD}
 """
 
+# --- near-dup DEDUP decision over documents ------------------------------------
+#
+# The end-to-end MinHash-LSH dedup pipeline op (candidates → exact
+# verify → keep-one-per-group): a document is DROPPED iff a verified
+# near-duplicate with a smaller doc_id exists. "Smaller id wins" is the
+# standard deterministic survivor rule (transitive chains keep exactly
+# the minimal element of each chain's prefix relation; no iterative
+# connected components needed for a drop-dominated rule). At scale this
+# is the same banded equi-join as q_ngram_jaccard plus one broadcast-able
+# anti-join on the dominated-id set (near-dup sets are tiny vs corpus).
+
+def q_dedup_near(spark, sf):
+    pairs = q_ngram_jaccard(spark, sf)  # (a, b, jaccard ≥ τ), a < b
+    dominated = pairs.select(F.col("b").alias("doc_id")).distinct()
+    d = load(spark, sf, "documents").select("doc_id")
+    return d.join(dominated, "doc_id", "left_anti")
+
+
+def sql_dedup_near(n: int | None = None) -> str:
+    return f"""
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT b FROM ({sql_ngram_jaccard(n)}) pairs)
+"""
+
+
 # --- embedding cosine top-k (brute force baseline) -----------------------------
 
 _TOPK = 10
@@ -522,6 +547,33 @@ def q_ann_lsh(spark, sf):
         dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4))
     return (out.filter(F.col("cos") >= _ANN_MIN_COS)
             .select("a", "b", "cos").distinct())
+
+
+# --- embedding-cosine near-dup dedup (decision op over vectors) ----------------
+#
+# Same survivor rule as q_dedup_near, with LSH-bucketed candidates from
+# q_ann_lsh instead of text shingles: a vector is dropped iff some
+# lower-id vector is ≥ _EMBED_DEDUP_COS cosine-similar in any shared
+# (table, bucket). The brute-force crossJoin never runs — at 10^12 rows
+# the candidate volume stays O(n · bucket · tables) and the dominated-id
+# set is a broadcast anti-join.
+
+_EMBED_DEDUP_COS = 0.90
+
+
+def q_embed_dedup(spark, sf):
+    pairs = q_ann_lsh(spark, sf).filter(F.col("cos") >= _EMBED_DEDUP_COS)
+    dominated = pairs.select(F.col("b").alias("vec_id")).distinct()
+    e = load(spark, sf, "embeddings").select("vec_id")
+    return e.join(dominated, "vec_id", "left_anti")
+
+
+def sql_embed_dedup(n: int | None = None) -> str:
+    return f"""
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT b FROM ({sql_ann_lsh(n)}) pairs
+                     WHERE pairs.cos >= {_EMBED_DEDUP_COS})
+"""
 
 
 def _sql_bucket_expr(table: int, planes: int) -> str:

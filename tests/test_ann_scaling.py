@@ -161,6 +161,32 @@ def test_ngram_jaccard_recall_on_planted_neardups(spark, planted_docs):
     assert planted_scores and min(planted_scores) >= 0.5
 
 
+# --- dedup DECISION ops (survivor sets) on the planted corpora ----------------
+
+def test_embed_dedup_drops_planted_dups(spark, planted):
+    """q_embed_dedup must drop the planted noisy copies (ids 200-299,
+    cos ≈ 0.99 to their base ≥ the 0.90 threshold) and keep the
+    un-duplicated bases (ids 100-199)."""
+    from skar_spark.ops.dedup import q_embed_dedup
+    sf_dir, _pairs, _ = planted
+    kept = {r.vec_id for r in q_embed_dedup(spark, sf_dir).collect()}
+    dup_ids = set(range(200, 300))
+    assert len(dup_ids - kept) >= 90  # ≥ recall-floor of the 100 dups
+    assert set(range(100, 200)) <= kept  # never drops non-duplicates
+
+
+def test_dedup_near_drops_planted_dups(spark, planted_docs):
+    """q_dedup_near must drop the planted text near-copies (ids 60-89)
+    and keep the originals (smaller id wins)."""
+    from skar_spark.ops.dedup import q_dedup_near
+    sf_dir, pairs, n = planted_docs
+    kept = {r.doc_id for r in q_dedup_near(spark, sf_dir).collect()}
+    dup_ids = {b for (_a, b) in pairs}
+    assert len(dup_ids - kept) >= 27  # ≥ 0.9 recall of the 30 dups
+    # base docs survive (allow ≤2 spurious same-vocab collisions)
+    assert len(set(range(60)) & kept) >= 58
+
+
 def test_bucket_kernel_matches_expression(spark, planted):
     """The Arrow-batched bucket kernel must agree EXACTLY with the JVM
     expression reference (_bucket_expr) — same fold-left float64
