@@ -17,7 +17,11 @@ micro-batch (the analog of the hot→cold flush), with
   folder names);
 - a windowed watermark aggregation helper for late-data monitoring
   (the closest analog of the reference's rollback-depth bound on
-  late/contradictory data, config.rs:8-9).
+  late/contradictory data, config.rs:8-9);
+- a CUSTOM STATEFUL operator (`stream_sessionize`): per-host crawl
+  sessions via applyInPandasWithState with event-time timeout —
+  arbitrary per-group state, the shape Spark's built-in windowed
+  aggregations cannot express.
 """
 
 from __future__ import annotations
@@ -162,6 +166,73 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True)
             .start())
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str,
+                      gap_sec: int = 1800,
+                      watermark: str = "10 seconds",
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Custom STATEFUL streaming operator: per-host crawl sessions via
+    ``applyInPandasWithState`` (arbitrary per-group state + event-time
+    timeout — the pattern for operators Spark's built-in windowed aggs
+    can't express). The streaming analog of the reference ingest loop's
+    per-stream continuity tracking (skar/src/skar_runner.rs:107-158).
+
+    A session is one host's burst of documents with no gap ≥ `gap_sec`
+    between consecutive arrivals (by event time `warc_ts`). State per
+    host is just (start_us, last_us, n_docs); a session closes — and is
+    emitted downstream — when the event-time watermark passes
+    last_ts + gap, so output is append-mode and late data within the
+    watermark still extends its session. State is O(#active hosts),
+    independent of document volume.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from skar_spark.engine.encode import with_host
+    from skar_spark.synth import DOCS_DDL
+
+    reader = spark.readStream.schema(DOCS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
+    stream = with_host(stream).withWatermark("warc_ts", watermark)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "host": [key[0]],
+                "session_start": [pd.to_datetime(start_us, unit="us")],
+                "session_end": [pd.to_datetime(last_us, unit="us")],
+                "n_docs": [n],
+            })
+            return
+        start_us, last_us, n = (state.get if state.exists
+                                else (None, None, 0))
+        for pdf in pdf_iter:  # pandas BATCHES of this host's rows
+            if not len(pdf):
+                continue
+            ts = pdf["warc_ts"].astype("datetime64[us]").astype("int64")
+            mn, mx = int(ts.min()), int(ts.max())
+            start_us = mn if start_us is None else min(start_us, mn)
+            last_us = mx if last_us is None else max(last_us, mx)
+            n += len(ts)
+        if last_us is None:
+            return
+        state.update((start_us, last_us, n))
+        # close the session when the watermark passes last + gap (ms)
+        state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
+
+    return stream.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType="host string, session_start timestamp, "
+                         "session_end timestamp, n_docs long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
 
 
 def windowed_rate(spark: SparkSession, input_dir: str,

@@ -122,6 +122,63 @@ def test_poison_file_quarantined_stream_survives(spark, tmp_path):
     assert back.exceptAll(src).count() == 0
 
 
+def test_stream_sessionize_stateful_gap_sessions(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState + event-time
+    timeout): per-host sessions close once the watermark passes
+    last_ts + gap and are emitted exactly once with correct bounds."""
+    import time as _time
+
+    import pyarrow as pa
+
+    from skar_spark.streaming import stream_sessionize
+
+    t0 = 1_700_000_000_000_000  # epoch us
+
+    def batch(rows):
+        return pa.table({
+            "url": pa.array([u for u, _ in rows], pa.string()),
+            "warc_ts": pa.array([t0 + off * 1_000_000 for _, off in rows],
+                                pa.timestamp("us")),
+            "html": pa.array([b"<p>x</p>"] * len(rows), pa.binary()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        })
+
+    d = tmp_path / "landing_sess"
+    d.mkdir()
+    # file 0: two hosts' sessions (a: 3 docs over 120 s, b: 2 docs)
+    pq.write_table(batch([("https://a.example/1", 0),
+                          ("https://a.example/2", 60),
+                          ("https://a.example/3", 120),
+                          ("https://b.example/1", 30),
+                          ("https://b.example/2", 90)]),
+                   str(d / "f0.parquet"))
+    _time.sleep(0.05)  # oldest-first file order by mtime
+    # file 1 advances event time by 2 h; file 2 by 4 h — the batch
+    # AFTER file 1 carries watermark t0+2h, which is past a/b's
+    # last_ts + gap (600 s), so their sessions time out and emit
+    pq.write_table(batch([("https://c.example/1", 7200)]),
+                   str(d / "f1.parquet"))
+    _time.sleep(0.05)
+    pq.write_table(batch([("https://c.example/2", 14400)]),
+                   str(d / "f2.parquet"))
+
+    sessions = stream_sessionize(spark, str(d), gap_sec=600,
+                                 max_files_per_trigger=1)
+    q = (sessions.writeStream.outputMode("append").format("memory")
+         .queryName("sess_out")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {r.host: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    assert set(got) == {"a.example", "b.example"}  # c is still open
+    a, b = got["a.example"], got["b.example"]
+    assert a.n_docs == 3 and b.n_docs == 2
+    assert (a.session_end - a.session_start).total_seconds() == 120
+    assert (b.session_end - b.session_start).total_seconds() == 60
+
+
 def test_transient_failure_retried_with_backoff(spark, tmp_path, monkeypatch):
     """A failure that names no unreadable file is retried with backoff
     and succeeds once the fault clears."""
