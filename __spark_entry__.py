@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_minmax": relational.q_zone_minmax,
         "distinct_sets": relational.q_distinct_sets,
         "tpch_q1": relational.q_tpch_q1,
+        "tpch_q3": relational.q_tpch_q3,
         "lexsort_topn": relational.q_lexsort_topn,
         "union_all": relational.q_union_all,
         "hex_derive": relational.q_hex_derive,
@@ -91,6 +92,7 @@ def oracle_sql() -> dict[str, str]:
         "zone_minmax": relational.SQL_ZONE_MINMAX,
         "distinct_sets": relational.SQL_DISTINCT_SETS,
         "tpch_q1": relational.SQL_TPCH_Q1,
+        "tpch_q3": relational.SQL_TPCH_Q3,
         "lexsort_topn": relational.SQL_LEXSORT_TOPN,
         "union_all": relational.SQL_UNION_ALL,
         "hex_derive": relational.SQL_HEX_DERIVE,

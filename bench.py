@@ -37,7 +37,8 @@ def main() -> None:
     qs = entrymod.queries()
 
     bench_queries = [
-        "tpch_q1", "range_filter", "semi_join", "inner_join", "zone_minmax",
+        "tpch_q1", "tpch_q3", "range_filter", "semi_join", "inner_join",
+        "zone_minmax",
         "distinct_sets", "window_topk", "gap_detect", "lexsort_topn",
         "left_join", "sessionize", "json_extract",
         "dedup_exact", "token_count", "quality_score", "doc_fingerprint",

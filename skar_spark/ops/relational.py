@@ -204,6 +204,48 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3 shape: the canonical 3-table join pipeline — filtered
+    customer segment ⨝ orders ⨝ lineitem, grouped revenue, deterministic
+    top-N (total order: revenue desc, orderdate, orderkey). At scale the
+    filtered dimension sides are broadcast-able and the big join shuffles
+    on the orderkey equi-key; nothing here fights Catalyst/AQE."""
+    c = (load(spark, sf, "customer")
+         .filter(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_orderdate") < F.lit("1997-06-01"))
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"))
+    li = (load(spark, sf, "lineitem")
+          .filter(F.col("l_shipdate") > F.lit("1997-06-01"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(c, o.o_custkey == c.c_custkey))
+    rev = F.round(F.sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))), 2)
+    return (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(rev.alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(),
+                     F.col("l_orderkey").asc())
+            .limit(10))
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # --- O1/O3: multi-key lexsort + limit (write_parquet.rs:131-153) -------------
 
 def q_lexsort_topn(spark, sf):
