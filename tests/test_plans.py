@@ -44,6 +44,32 @@ def test_inner_join_broadcasts_dim(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_tpch_q3_pushdown_and_broadcasts(spark):
+    """The 3-table join pipeline: every filter reaches its parquet scan,
+    scans are column-pruned, and BOTH filtered dimension sides broadcast
+    (the only hash exchange left is the group-by)."""
+    df = entrymod.queries()["tpch_q3"](spark, SF)
+    plan = _plan(df)
+    assert "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # formatted explain names each node in tree + detail sections; the
+    # load-bearing claim is: both joins broadcast, none shuffle-sorts
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    for absent in ("o_totalprice", "c_name", "l_comment"):
+        assert absent not in plan
+
+
+def test_dedup_decision_anti_join_broadcasts(spark):
+    """The survivor-set anti-join must broadcast the (tiny) dominated-id
+    set, never shuffle the full corpus against it."""
+    df = entrymod.queries()["dedup_near"](spark, SF)
+    plan = _plan(df)
+    assert "BroadcastHashJoin LeftAnti" in plan \
+        or ("LeftAnti" in plan and "BroadcastExchange" in plan)
+
+
 def test_queries_use_codegen(spark):
     # AQE wraps the plan until execution, hiding codegen subtrees from
     # a pre-execution explain — disable it just for this inspection
