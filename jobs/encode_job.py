@@ -87,15 +87,23 @@ def main() -> None:
         # executor registration so startup isn't in the timed section
 
     if args.warmup:
-        # untimed warm-up over ~2% of rows through the full encode path:
-        # JVM JIT, Python worker daemons, Arrow IPC buffers, codec imports
+        # untimed warm-up through the full encode path: JVM JIT, Python
+        # worker daemons, Arrow IPC buffers, codec imports. The sample is
+        # sized for constant work PER CORE (~10k rows/core), not a fixed
+        # fraction of the input: with a fixed fraction a 4N-executor run
+        # gives each JVM 1/4 the warm-up of the N run, so its timed
+        # repeats start colder and the N→4N efficiency ratio is biased
+        # LOW (measured: 4N best-of-3 still improving at rep 3, 67→74→55
+        # s, while N plateaued by rep 2 — per-JVM JIT warm-in tracks the
+        # work that JVM has executed, not the repeat count).
         import shutil as _sh
         from pyspark.sql import functions as F
         wdir = args.out + ".warmup"
         _sh.rmtree(wdir, ignore_errors=True)
-        sample = docs.filter(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+        mod = max(2, n_rows // (10_000 * args.cpus))
+        sample = docs.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
         encode_documents(spark, sample, wdir, cfg,
-                         num_parts=args.cpus, n_rows=max(n_rows // 50, 1))
+                         num_parts=args.cpus, n_rows=max(n_rows // mod, 1))
         _sh.rmtree(wdir, ignore_errors=True)
 
     import shutil as _sh

@@ -248,11 +248,14 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=1,
                     help="harness-level interleaved repeats (each leg "
                          "already runs --job-repeats encodes in-session)")
-    ap.add_argument("--job-repeats", type=int, default=3,
+    ap.add_argument("--job-repeats", type=int, default=4,
                     help="in-session encode repeats per leg; best-of "
                          "(steady-state: JIT warm-in takes ~2 runs). "
                          "Both legs run the SAME count — symmetric "
-                         "sampling keeps the efficiency ratio unbiased.")
+                         "sampling keeps the efficiency ratio unbiased; "
+                         "the untimed warm-up additionally does constant "
+                         "work PER CORE so multi-executor legs start "
+                         "equally warm (encode_job.py --warmup).")
     ap.add_argument("--keep-cluster", action="store_true")
     args = ap.parse_args()
     partitions = args.partitions or max(128, args.docs // 7000)
