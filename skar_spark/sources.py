@@ -32,6 +32,9 @@ encoded with ``EngineConfig.retain_superseded``:
 `.option("as_of", unix_seconds)` resolves the file set to the snapshot
 committed at or before that instant (Iceberg time-travel semantics,
 native on the lineage table — see engine.encode.snapshots/vacuum).
+Continuous tailing: `spark.readStream.format("skar").load(out)` emits
+newly committed part files per micro-batch (`SkarStreamReader` — the
+follow-mode pairing for tables written by `streaming.stream_encode`).
 """
 
 from __future__ import annotations
@@ -41,6 +44,7 @@ import datetime as _dt
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -108,6 +112,9 @@ class SkarDataSource(DataSource):
 
     def reader(self, schema) -> "SkarReader":
         return SkarReader(self.options, self._cols())
+
+    def streamReader(self, schema) -> "SkarStreamReader":
+        return SkarStreamReader(self.options, self._cols())
 
 
 class SkarReader(DataSourceReader):
@@ -193,28 +200,90 @@ class SkarReader(DataSourceReader):
         return [SkarPartition(f) for f in files]
 
     def read(self, partition: SkarPartition):
-        from skar_spark.engine.partfile import (
-            _derive_host,
-            read_footer,
-            read_part_file,
-        )
-
         if partition is None:  # Spark's placeholder when no partitions
             return
-        want = self.cols
-        if want is None:
-            want = read_footer(partition.path)["columns"] + ["host"]
-        stored = [c for c in want if c != "host"]
-        inner = list(stored)
-        if "host" in want and "url" not in inner:
-            inner.append("url")
-        t = read_part_file(partition.path, columns=inner,
-                           host_eq=self.host_eq, ts_range=self._ts_range(),
-                           lang_eq=self.lang_eq)
-        if "host" in want:
-            t = t.append_column("host", _derive_host(t["url"]))
-        t = t.select(want)
-        yield from t.to_batches(max_chunksize=16384)
+        yield from _read_part_batches(
+            partition.path, self.cols, host_eq=self.host_eq,
+            ts_range=self._ts_range(), lang_eq=self.lang_eq)
+
+
+def _read_part_batches(path: str, cols, host_eq=None, ts_range=None,
+                       lang_eq=None):
+    """Decode one part file to Arrow batches with the derived `host`
+    column — the shared read-task body of the batch and stream readers."""
+    from skar_spark.engine.partfile import (
+        _derive_host,
+        read_footer,
+        read_part_file,
+    )
+
+    want = cols
+    if want is None:
+        want = read_footer(path)["columns"] + ["host"]
+    stored = [c for c in want if c != "host"]
+    inner = list(stored)
+    if "host" in want and "url" not in inner:
+        inner.append("url")
+    t = read_part_file(path, columns=inner, host_eq=host_eq,
+                       ts_range=ts_range, lang_eq=lang_eq)
+    if "host" in want:
+        t = t.append_column("host", _derive_host(t["url"]))
+    t = t.select(want)
+    yield from t.to_batches(max_chunksize=16384)
+
+
+class SkarStreamReader(DataSourceStreamReader):
+    """`spark.readStream.format("skar")` — tail-follow over an encoded
+    table: each micro-batch reads the part files COMMITTED since the
+    last offset. The mirror of the reference's continuous follow mode
+    (its ingest loop keeps serving queries while new block-range folders
+    land, skar/src/skar_runner.rs:107-158).
+
+    Offset model: part files sorted by numeric part index;
+    `{"index": n}` = files emitted so far. That is a valid monotone
+    offset whenever new files only ever sort AFTER existing ones, which
+    the streaming writer guarantees (injective epoch namespace,
+    always-growing pids) and a COMPLETED batch table trivially
+    satisfies (no new files). Not supported: snapshot-retaining tables
+    (a superseding attempt inserts a new file at an existing pid —
+    rejected at stream start) and tailing a batch table mid-resume
+    (gap-filling re-encodes can insert below the high-water mark).
+    """
+
+    def __init__(self, options, cols):
+        self.path = options["path"]
+        self.cols = cols
+        from skar_spark.engine.encode import is_retained
+        if is_retained(self.path):
+            raise ValueError(
+                "streaming read of a retain_superseded table is not "
+                "supported: superseded attempts break the monotone "
+                "file-index offset model (vacuum first)")
+
+    def _files(self):
+        from skar_spark.engine.decode import (
+            _file_part_index,
+            list_part_files,
+        )
+        return sorted(list_part_files(self.path), key=_file_part_index)
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[start["index"]:end["index"]]
+        return [SkarPartition(f) for f in files]
+
+    def read(self, partition: SkarPartition):
+        if partition is None:
+            return
+        yield from _read_part_batches(partition.path, self.cols)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by Spark's streaming checkpoint
 
 
 def _page_slice(files: list[str], cursor: int,
