@@ -210,8 +210,10 @@ def prune_selections(spark: SparkSession, out_dir: str,
     """Per-disjunct pruning — the prune_query analog (handler.rs:187-250).
 
     `selections` is a list of disjuncts, each `{"hosts": [...] | None,
-    "ts_range": (lo_us, hi_us) | None}` (conjunctive within a disjunct,
-    OR across). Returns {file: [surviving disjunct indices]} containing
+    "langs": [...] | None, "ts_range": (lo_us, hi_us) | None}`
+    (conjunctive within a disjunct, OR across; langs prune via the
+    second bloom family). Returns {file: [surviving disjunct indices]}
+    containing
     only files at least one disjunct can touch. Evaluation is one
     distributed pass over the lineage table: zone maps as JVM-side
     expressions, blooms probed executor-side, per selection.
@@ -225,12 +227,20 @@ def prune_selections(spark: SparkSession, out_dir: str,
     lin = read_lineage(spark, out_dir, latest=True)
     if lin is None:
         return {f: list(range(len(selections))) for f in sorted(files)}
-    sel_df = lin.select("file", "min_warc_ts", "max_warc_ts", "host_bloom")
+    has_lbloom = "lang_bloom" in lin.columns
+    cols = ["file", "min_warc_ts", "max_warc_ts", "host_bloom"] + \
+        (["lang_bloom"] if has_lbloom else [])
+    sel_df = lin.select(*cols)
     for i, s in enumerate(selections):
         hosts = s.get("hosts")
+        langs = s.get("langs")
         keep = _lineage_keep_expr(None, s.get("ts_range"))
         if hosts:
             keep = keep & _bloom_probe_udf(list(hosts))(F.col("host_bloom"))
+        if langs and has_lbloom:
+            # second bloom family: a partition survives this disjunct
+            # only if ANY requested lang might be present
+            keep = keep & _bloom_probe_udf(list(langs))(F.col("lang_bloom"))
         sel_df = sel_df.withColumn(f"_k{i}", keep)
     rows = sel_df.filter(
         " or ".join(f"_k{i}" for i in range(len(selections)))
@@ -239,8 +249,12 @@ def prune_selections(spark: SparkSession, out_dir: str,
     for r in rows:
         if r.file in files:
             out[r.file] = [i for i in range(len(selections)) if r[f"_k{i}"]]
-    # files with no lineage row can't be pruned; all disjuncts apply
-    in_lineage = {r.file for r in lin.select("file").collect()}
+    # files with no lineage row can't be pruned; all disjuncts apply.
+    # On snapshot-retaining tables the fallback must consult the FULL
+    # lineage so superseded attempt files are never resurrected.
+    from skar_spark.engine.encode import is_retained
+    ref = read_lineage(spark, out_dir) if is_retained(out_dir) else lin
+    in_lineage = {r.file for r in ref.select("file").distinct().collect()}
     for f in sorted(files - in_lineage):
         out[f] = list(range(len(selections)))
     return out
