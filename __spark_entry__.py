@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # format; roundtrip + pruned scan are hash-verified vs DuckDB
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
+        "engine_query_handler": engine_queries.q_engine_query_handler,
         "engine_lineage": engine_queries.q_engine_lineage,
     }
 
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,
         "engine_scan_pruned": engine_queries.SQL_ENGINE_SCAN_PRUNED,
+        "engine_query_handler": engine_queries.SQL_ENGINE_QUERY_HANDLER,
         # engine_lineage: engine-internal schema, rows-only by design
     }
 

@@ -120,6 +120,41 @@ def q_engine_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("partition_id"))
 
 
+def q_engine_query_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON query handler (skar_spark.query.run_query — the
+    reference's primary API shape, handler.rs + README.md:200-280) run
+    against the encoded engine table with a DETERMINISTIC query:
+    ts window + (hosts-conjunct OR langs-conjunct) selections +
+    projection. Lifted to a DataFrame so the driver hash-verifies the
+    handler's full selection semantics against DuckDB over the raw
+    parquet (host docs-K.local ⇔ doc_id % 97 = K; warc_ts ⇔
+    2024-01-01 + doc_id seconds — see webtext_from_documents)."""
+    from skar_spark.query import run_query
+
+    out = _ensure_encoded(spark, sf_dir)
+    res = run_query(spark, out, {
+        "from_ts": "2024-01-01T00:01:00",   # doc_id >= 60
+        "to_ts": "2024-01-01T00:05:00",     # doc_id < 300
+        "selections": [
+            {"hosts": ["docs-7.local", "docs-11.local"]},
+            {"langs": ["de"]},
+        ],
+        "field_selection": ["url", "lang"],
+        "time_limit_ms": None,
+    })
+    assert res["next_cursor"] is None  # the window must fit one response
+    return spark.createDataFrame(
+        [(r["url"], r["lang"]) for r in res["rows"]],
+        "url string, lang string")
+
+
+SQL_ENGINE_QUERY_HANDLER = f"""
+SELECT {_SQL_URL} AS url, lang FROM documents
+WHERE doc_id >= 60 AND doc_id < 300
+  AND (doc_id % 97 IN (7, 11) OR lang = 'de')
+"""
+
+
 def q_engine_scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-side projection + aggregation over the encoded table
     (column-pruned scan: only the lang chunks are decoded). Hash-verified
