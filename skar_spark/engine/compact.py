@@ -1,0 +1,150 @@
+"""Compaction — consolidate small part files into full-size ones.
+
+Streaming ingest commits one batch of parts per micro-batch epoch
+(streaming.stream_encode), which at scale accumulates the classic
+small-files problem: pruning metadata grows per part, scan tasks go
+launch-bound, and row groups stay under-filled. `compact_parts` is the
+cold-tier consolidation step — the batch analog of the reference's
+hot→cold flush building FULL block-range folders out of the in-memory
+tail (skar/src/skar_runner.rs:285-353), and of Iceberg's
+rewrite_data_files.
+
+Semantics:
+
+- parts whose committed `row_count` is below `small_rows` are decoded
+  (vectorized, one task per part), re-partitioned to full-size NEW
+  part ids allocated ABOVE the table's high-water index (names keep
+  sorting after every existing file), and re-encoded through the same
+  codec-auto-selected kernel — blooms, zone maps, and checksums are
+  rebuilt per compacted part;
+- the lineage table is rewritten in one atomic swap (temp + rename,
+  the vacuum discipline) to {untouched latest rows} ∪ {compacted
+  rows}, then the superseded small files are deleted;
+- the table is marked ARCHIVAL (`meta/compacted`): resume,
+  late-data rollback, and streaming append refuse it afterwards,
+  because partition membership no longer matches the persisted
+  salt-map/plan (a replanned pid could collide with a compacted id and
+  silently supersede it). Compact a table once its ingest is closed.
+- snapshot-retaining tables are rejected: pid-level supersede of a
+  retained attempt set has no meaningful time-travel semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine.encode import (
+    FOOTER_DDL,
+    _encode_kernel,
+    _meta_dir,
+    is_retained,
+    lineage_dir,
+    read_lineage,
+    with_host,
+)
+
+
+def _compact_marker(out_dir: str) -> str:
+    return os.path.join(_meta_dir(out_dir), "compacted")
+
+
+def is_compacted(out_dir: str) -> bool:
+    return os.path.exists(_compact_marker(out_dir))
+
+
+def assert_not_compacted(out_dir: str, op: str) -> None:
+    if is_compacted(out_dir):
+        raise ValueError(
+            f"{op} refused: {out_dir} was compacted — partition "
+            "membership no longer matches the persisted plan, so "
+            "further writes could collide with compacted part ids")
+
+
+def compact_parts(spark: SparkSession, out_dir: str,
+                  cfg: EngineConfig = DEFAULT,
+                  small_rows: int | None = None,
+                  min_parts: int = 2) -> dict:
+    """Compact all committed parts smaller than `small_rows` (default:
+    cfg.target_partition_rows // 2) into ~target_partition_rows parts.
+    Returns {"compacted_parts", "new_parts", "rows"}; no-op (and no
+    archival marker) when fewer than `min_parts` parts qualify."""
+    from skar_spark.engine.decode import (
+        _file_part_index,
+        list_part_files,
+        read_part_file,
+    )
+    from skar_spark.engine.decode_schema import spark_ddl_for
+    from skar_spark.engine.partfile import read_footer
+
+    if is_retained(out_dir):
+        raise ValueError("compact_parts does not support "
+                         "retain_superseded tables")
+    small_rows = small_rows or cfg.target_partition_rows // 2
+    lin = read_lineage(spark, out_dir, latest=True)
+    if lin is None:
+        raise FileNotFoundError(f"no lineage under {out_dir}")
+    lin = lin.filter(F.col("status") == "committed").cache()
+    cand = lin.filter(F.col("row_count") < small_rows) \
+        .select("file", "row_count").collect()
+    if len(cand) < min_parts:
+        lin.unpersist()
+        return {"compacted_parts": 0, "new_parts": 0, "rows": 0}
+    files = [r.file for r in cand]
+    total_rows = sum(r.row_count for r in cand)
+    n_new = max(1, -(-total_rows // cfg.target_partition_rows))
+    hw = max((_file_part_index(f) for f in list_part_files(out_dir)),
+             default=-1) + 1
+
+    # decode the small parts (one task per file), derive host, assign
+    # full-size NEW pids above the high-water mark
+    import pyarrow as pa  # noqa: F401  (mapInArrow contract)
+    footer = read_footer(files[0])
+    ddl = spark_ddl_for(footer["schema"], footer["columns"])
+    paths_df = spark.createDataFrame(
+        [(f,) for f in files], "path string").repartition(len(files))
+
+    def decode_fn(batches):
+        for batch in batches:
+            for p in batch.column("path").to_pylist():
+                t = read_part_file(p)
+                yield from t.to_batches(max_chunksize=16384)
+
+    df = with_host(paths_df.mapInArrow(decode_fn, schema=ddl))
+    planned = df.withColumn(
+        "part_id",
+        (F.pmod(F.xxhash64("url"), F.lit(n_new)) + F.lit(hw)).cast("int"))
+
+    attempt = "compact-" + uuid.uuid4().hex[:8]
+    new_footers = planned.groupBy("part_id").applyInArrow(
+        _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+
+    # one atomic lineage swap: untouched latest rows + compacted rows
+    keep = lin.filter(~F.col("file").isin(files))
+    newlin = keep.unionByName(new_footers)
+    path = lineage_dir(out_dir)
+    tmp, old = path + ".compact", path + ".precompact"
+    shutil.rmtree(tmp, ignore_errors=True)
+    newlin.write.mode("overwrite").parquet(tmp)
+    lin.unpersist()
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+    for f in files:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+
+    os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    with open(_compact_marker(out_dir), "w") as fh:
+        fh.write(f"{attempt}\n")
+    return {"compacted_parts": len(files), "new_parts": n_new,
+            "rows": total_rows}

@@ -416,6 +416,9 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         raise FileExistsError(
             f"{out_dir} already has lineage; pass resume=True to "
             "continue it, or clear the directory for a fresh encode")
+    if resume:
+        from skar_spark.engine.compact import assert_not_compacted
+        assert_not_compacted(out_dir, "encode resume")
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     host_counts = None
     day_meta = None
@@ -599,6 +602,8 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
     """
     import sys
 
+    from skar_spark.engine.compact import assert_not_compacted
+    assert_not_compacted(out_dir, "late-data rollback")
     planned_late, meta = _replan_with_stored(spark, late_df, out_dir, cfg)
     if meta["scheme"] == "day_hash":
         n_before = planned_late.filter(F.col("part_id") < 0).count()

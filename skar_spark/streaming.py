@@ -96,8 +96,10 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     file) — quarantining is not counted against the retry budget, and
     every quarantined file is visible on disk, never silently dropped.
     """
+    from skar_spark.engine.compact import assert_not_compacted
     from skar_spark.synth import DOCS_DDL
 
+    assert_not_compacted(out_dir, "streaming append")
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 

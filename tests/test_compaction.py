@@ -1,0 +1,103 @@
+"""Compaction of streaming small parts — the cold-tier consolidation
+(skar_runner.rs:285-353 hot→cold full-folder analog / Iceberg
+rewrite_data_files). Exactly-once content, rebuilt pruning metadata,
+atomic lineage swap, archival guard on every writer."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from skar_spark.config import EngineConfig
+from skar_spark.engine.compact import compact_parts, is_compacted
+from skar_spark.engine.decode import (
+    list_part_files,
+    scan,
+    validate_output,
+)
+from skar_spark.engine.encode import read_lineage
+from skar_spark.streaming import stream_encode
+from skar_spark.synth import synth_batch
+
+pytestmark = pytest.mark.spark
+
+CFG = EngineConfig(max_row_group_size=500)
+PER_FILE = 400
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    """12 small parts from 3 streaming epochs (4 parts/epoch)."""
+    d = tmp_path_factory.mktemp("cmp_landing")
+    out = str(tmp_path_factory.mktemp("cmp") / "out")
+    for i in range(3):
+        pq.write_table(
+            synth_batch(np.arange(i * PER_FILE, (i + 1) * PER_FILE)),
+            str(d / f"f{i}.parquet"))
+        stream_encode(spark, str(d), out, CFG,
+                      parts_per_batch=4).awaitTermination(120)
+    return out
+
+
+def test_compact_consolidates_exactly_once(spark, streamed):
+    out = streamed
+    n_files_before = len(list_part_files(out))
+    src = scan(spark, out).select("url", "text")
+    src_rows = {(r.url, r.text) for r in src.collect()}
+    assert n_files_before >= 8  # the stream really made small parts
+
+    res = compact_parts(
+        spark, out, EngineConfig(max_row_group_size=500,
+                                 target_partition_rows=1_000))
+    assert res["compacted_parts"] == n_files_before
+    assert res["rows"] == 3 * PER_FILE
+    files_after = list_part_files(out)
+    assert len(files_after) == res["new_parts"] < n_files_before
+
+    # exactly-once content through the compacted table
+    back = {(r.url, r.text)
+            for r in scan(spark, out).select("url", "text").collect()}
+    assert back == src_rows
+    # lineage matches disk exactly (atomic swap, old rows gone)
+    lin = read_lineage(spark, out, latest=True)
+    assert {r.file for r in lin.collect()} == set(files_after)
+    # pruning metadata was rebuilt: checksums validate per new part
+    assert all(r.ok for r in validate_output(spark, out).collect())
+    # compacted parts are actually full-size
+    assert all(r.row_count >= 500 for r in lin.collect())
+
+
+def test_compact_pruned_point_read_still_exact(spark, streamed):
+    out = streamed  # already compacted by the previous test (module fx)
+    some = scan(spark, out).select("url").first().url
+    host = some.split("://")[1].split("/")[0]
+    got = scan(spark, out, host_eq=host).select("url").collect()
+    assert all(r.url.split("://")[1].split("/")[0] == host for r in got)
+    assert any(r.url == some for r in got)
+
+
+def test_archival_guard_refuses_further_writes(spark, streamed, tmp_path):
+    out = streamed
+    assert is_compacted(out)
+    with pytest.raises(ValueError, match="compacted"):
+        stream_encode(spark, str(tmp_path / "landing_x"), out, CFG)
+    from skar_spark.engine.encode import encode_documents, reencode_late
+    from skar_spark.synth import synth_documents
+    docs = synth_documents(spark, 100, partitions=2)
+    with pytest.raises(ValueError, match="compacted"):
+        encode_documents(spark, docs, out, CFG, n_rows=100, resume=True)
+    with pytest.raises((ValueError, FileNotFoundError), match="compacted"):
+        reencode_late(spark, docs, docs.limit(5), out, CFG)
+
+
+def test_compact_noop_below_min_parts(spark, tmp_path):
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.synth import synth_documents
+    out = str(tmp_path / "big")
+    docs = synth_documents(spark, 2_000, partitions=4)
+    cfg = EngineConfig(target_partition_rows=1_000, max_row_group_size=500)
+    encode_documents(spark, docs, out, cfg, n_rows=2_000)
+    # parts are already ~full-size → nothing qualifies, no marker
+    res = compact_parts(spark, out, cfg)
+    assert res["compacted_parts"] == 0
+    assert not is_compacted(out)
