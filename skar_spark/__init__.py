@@ -23,3 +23,17 @@ engine `omahs/skar` (Rust, arrow2/Parquet archive indexer — see
 __version__ = "0.1.0"
 
 from skar_spark.config import EngineConfig  # noqa: F401
+
+__all__ = ["EngineConfig"]
+
+# Public API map (import from the submodules; they lazy-import Spark):
+#   engine.encode:  encode_documents, reencode_late, read_lineage,
+#                   snapshots, vacuum                (write path + snapshots)
+#   engine.decode:  scan, scan_paged, validate_output (read path)
+#   engine.compact: compact_parts                     (cold-tier consolidation)
+#   query:          run_query                         (JSON query handler)
+#   server:         serve                             (HTTP query server)
+#   sources:        register, read_paged              (spark.read/readStream
+#                                                      .format("skar"))
+#   streaming:      stream_encode, stream_sessionize, windowed_rate
+#   codecs:         encode_auto, decode_array         (pure columnar kernels)
