@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_detect": relational.q_gap_detect,
         "window_topk": relational.q_window_topk,
         "rollup_agg": relational.q_rollup,
+        "percentile_agg": relational.q_percentile_agg,
         "left_join": relational.q_left_join,
         "having": relational.q_having,
         "sessionize": relational.q_sessionize,
@@ -100,6 +101,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_detect": relational.SQL_GAP_DETECT,
         "window_topk": relational.SQL_WINDOW_TOPK,
         "rollup_agg": relational.SQL_ROLLUP,
+        "percentile_agg": relational.SQL_PERCENTILE_AGG,
         "left_join": relational.SQL_LEFT_JOIN,
         "having": relational.SQL_HAVING,
         "sessionize": relational.SQL_SESSIONIZE,

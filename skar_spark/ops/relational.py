@@ -204,6 +204,30 @@ FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+def q_percentile_agg(spark, sf):
+    """Exact percentiles per group (Spark `percentile`, linear
+    interpolation — matches DuckDB quantile_cont bitwise): the order-
+    statistics aggregate surface. At scale this is a single shuffle on
+    the group key; `approx_percentile` is the sketch alternative when
+    exactness isn't required (not used here so the oracle stays exact)."""
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                 .alias("med_price"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4)
+                 .alias("p90_price"),
+                 F.count("*").alias("n")))
+
+
+SQL_PERCENTILE_AGG = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS med_price,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_tpch_q3(spark, sf):
     """TPC-H Q3 shape: the canonical 3-table join pipeline — filtered
     customer segment ⨝ orders ⨝ lineitem, grouped revenue, deterministic
