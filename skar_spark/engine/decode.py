@@ -87,11 +87,18 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     encoded with ``retain_superseded``). On a snapshot-retaining table
     the surviving set always comes from lineage: superseded attempt
     files still on disk are never returned."""
+    from skar_spark.engine.compact import is_compacted
     from skar_spark.engine.encode import is_retained
 
     files = list_part_files(out_dir)
     no_filters = host_eq is None and ts_range is None and lang_eq is None
-    if no_filters and as_of is None and not is_retained(out_dir):
+    # fast path: plain full scans trust the directory listing — valid
+    # because non-retained, non-compacted tables never delete files, so
+    # the listing can only over-approximate by uncommitted parts whose
+    # atomic-rename publish makes them complete. Retained/compacted
+    # tables (file deletion possible) always resolve through lineage.
+    if no_filters and as_of is None and not is_retained(out_dir) \
+            and not is_compacted(out_dir):
         return files
     lin = read_lineage(spark, out_dir, latest=True, as_of=as_of)
     if lin is None:
@@ -102,16 +109,14 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     if lang_eq is not None and "lang_bloom" in lin.columns:
         sel = sel.filter(_bloom_probe_udf([lang_eq])(F.col("lang_bloom")))
     survived = {r.file for r in sel.select("file").collect()}
-    if is_retained(out_dir) or as_of is not None:
-        # a file from ANY attempt that is not in the selected view is
-        # superseded / outside the snapshot — it must not be read
-        full = read_lineage(spark, out_dir)
-        in_lineage = {r.file for r in
-                      full.select("file").distinct().collect()}
-    else:
-        in_lineage = {r.file for r in lin.select("file").collect()}
-    # files with no lineage row can't be pruned; keep them
-    return [f for f in files if f in survived or f not in in_lineage]
+    # lineage is the SOURCE OF TRUTH for table membership: a part file
+    # with no row in the selected view is either superseded (snapshot
+    # retention), outside the as_of snapshot, not yet committed (its
+    # writer re-encodes it on resume — atomic rename makes the eventual
+    # commit idempotent), or orphaned by a crash between a vacuum/
+    # compaction lineage swap and its file deletes. All four must not
+    # be read; readers only ever see committed data exactly once.
+    return [f for f in files if f in survived]
 
 
 def prune_partitions_local(out_dir: str,
@@ -137,6 +142,7 @@ def prune_partitions_local(out_dir: str,
     import pyarrow.dataset as pads
 
     from skar_spark.engine.bloom import bloom_might_contain
+    from skar_spark.engine.compact import is_compacted
     from skar_spark.engine.encode import is_retained, lineage_dir
 
     files = list_part_files(out_dir)
@@ -144,7 +150,8 @@ def prune_partitions_local(out_dir: str,
     if host_eq is not None:
         probes = [host_eq]
     if (not probes and ts_range is None and lang_eq is None
-            and as_of is None and not is_retained(out_dir)):
+            and as_of is None and not is_retained(out_dir)
+            and not is_compacted(out_dir)):
         return files
     try:
         d = pads.dataset(lineage_dir(out_dir), format="parquet")
@@ -199,10 +206,10 @@ def prune_partitions_local(out_dir: str,
             if prev is None or ts >= prev[0]:
                 latest[pids[i]] = (ts, fnames[i], k)
     survived = {f for (_ts, f, k) in latest.values() if k}
-    # superseded attempts' files (tracked via seen_files, which spans ALL
-    # lineage rows — not just each partition's winner) are never returned;
-    # only files lineage never recorded bypass pruning
-    return [f for f in files if f in survived or f not in seen_files]
+    # lineage is the source of truth for membership (see
+    # prune_partitions): superseded, out-of-snapshot, uncommitted, and
+    # crash-orphaned files are all excluded
+    return [f for f in files if f in survived]
 
 
 def prune_selections(spark: SparkSession, out_dir: str,
@@ -249,14 +256,9 @@ def prune_selections(spark: SparkSession, out_dir: str,
     for r in rows:
         if r.file in files:
             out[r.file] = [i for i in range(len(selections)) if r[f"_k{i}"]]
-    # files with no lineage row can't be pruned; all disjuncts apply.
-    # On snapshot-retaining tables the fallback must consult the FULL
-    # lineage so superseded attempt files are never resurrected.
-    from skar_spark.engine.encode import is_retained
-    ref = read_lineage(spark, out_dir) if is_retained(out_dir) else lin
-    in_lineage = {r.file for r in ref.select("file").distinct().collect()}
-    for f in sorted(files - in_lineage):
-        out[f] = list(range(len(selections)))
+    # lineage is the source of truth for membership (see
+    # prune_partitions): files without a latest-view lineage row are
+    # superseded, uncommitted, or crash-orphaned — never read
     return out
 
 

@@ -253,12 +253,19 @@ class SkarStreamReader(DataSourceStreamReader):
     def __init__(self, options, cols):
         self.path = options["path"]
         self.cols = cols
+        from skar_spark.engine.compact import is_compacted
         from skar_spark.engine.encode import is_retained
         if is_retained(self.path):
             raise ValueError(
                 "streaming read of a retain_superseded table is not "
                 "supported: superseded attempts break the monotone "
                 "file-index offset model (vacuum first)")
+        if is_compacted(self.path):
+            raise ValueError(
+                "streaming read of a compacted table is not supported: "
+                "compaction removed files below the high-water mark, so "
+                "a resumed offset would mis-slice — export the archival "
+                "table with a batch read instead")
 
     def _files(self):
         from skar_spark.engine.decode import (

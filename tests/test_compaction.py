@@ -101,3 +101,37 @@ def test_compact_noop_below_min_parts(spark, tmp_path):
     res = compact_parts(spark, out, cfg)
     assert res["compacted_parts"] == 0
     assert not is_compacted(out)
+
+def test_crash_orphan_files_never_resurrected(spark, tmp_path):
+    """Crash-safety of destructive ops: a file deleted from lineage (as
+    by a vacuum/compaction swap) but left on disk by a crash must NOT
+    be read — lineage is the source of truth for membership."""
+    import shutil
+
+    from skar_spark.engine.compact import _compact_marker
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.synth import synth_documents
+
+    out = str(tmp_path / "orphan")
+    docs = synth_documents(spark, 1_000, partitions=2)
+    cfg = EngineConfig(target_partition_rows=250, max_row_group_size=125)
+    encode_documents(spark, docs, out, cfg, n_rows=1_000)
+    n_total = scan(spark, out).count()
+
+    # simulate the crash window: duplicate one committed part file on
+    # disk under a foreign name and mark the table as having run a
+    # destructive op (compaction) — the copy has no lineage row
+    f0 = list_part_files(out)[0]
+    shutil.copy(f0, f0.replace(".skar", "") + "999.skar")
+    import os
+    os.makedirs(os.path.dirname(_compact_marker(out)), exist_ok=True)
+    with open(_compact_marker(out), "w") as fh:
+        fh.write("crash-test\n")
+
+    assert scan(spark, out).count() == n_total          # no duplicates
+    some = scan(spark, out).select("url").first().url
+    host = some.split("://")[1].split("/")[0]
+    got = scan(spark, out, host_eq=host).count()        # filtered path too
+    expect = sum(1 for r in scan(spark, out).select("url").collect()
+                 if r.url.split("://")[1].split("/")[0] == host)
+    assert got == expect
