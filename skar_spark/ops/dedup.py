@@ -522,8 +522,16 @@ def q_ann_lsh(spark, sf):
     w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     capped_lazy = (bucketed.withColumn("rn", F.row_number().over(w))
                    .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
+    # staging root must be storage every executor AND the driver can
+    # read (the write happens executor-side, the metadata row-count
+    # read driver-side): local /tmp is only valid on local[..] or a
+    # single-node cluster — set SKAR_STAGE_DIR to a shared POSIX
+    # filesystem (e.g. NFS) on a multi-node deployment; an object-store
+    # URI would additionally need the os.listdir metadata scan below
+    # replaced with a spark.read row count
     tag = hashlib.md5(f"{sf}|{n}|{planes}".encode()).hexdigest()[:10]
-    stage_dir = f"/tmp/skar_ann_stage_{tag}"
+    stage_root = os.environ.get("SKAR_STAGE_DIR", "/tmp")
+    stage_dir = f"{stage_root}/skar_ann_stage_{tag}"
     capped_lazy.write.mode("overwrite").parquet(stage_dir)
     capped = spark.read.parquet(stage_dir)
 
