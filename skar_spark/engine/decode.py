@@ -18,6 +18,14 @@ index (db/mod.rs:217-305) → row-group selection via zone maps + blooms
 - row-group pruning + projection + EXACT predicate apply happen inside
   the mapInArrow kernel against the part-file footer;
 - decode is vectorized (numpy/pyarrow) per column chunk.
+
+Storage assumption: table paths are POSIX-visible from the driver and
+every executor (local disk in local[..] mode, NFS/fuse mounts on a
+cluster) — the same assumption the reference's local-data-dir layout
+makes (skar/src/config.rs data_path). Porting to an object store is
+isolated to `list_part_files` (the lister) and `partfile.read_part_file`
+/ `write_part_file` (byte-range IO); every layer above works on opaque
+path strings.
 """
 
 from __future__ import annotations
