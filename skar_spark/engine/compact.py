@@ -20,11 +20,18 @@ Semantics:
 - the lineage table is rewritten in one atomic swap (temp + rename,
   the vacuum discipline) to {untouched latest rows} ∪ {compacted
   rows}, then the superseded small files are deleted;
-- the table is marked ARCHIVAL (`meta/compacted`): resume,
-  late-data rollback, and streaming append refuse it afterwards,
+- the table is marked ARCHIVAL (`meta/compacted`) BEFORE any new file
+  is written: the marker flips every reader to lineage-resolved
+  membership (no directory-listing fast path), making the whole
+  operation crash-safe — at any interruption point lineage still
+  describes a consistent table and orphaned files are ignored. Resume,
+  late-data rollback, and streaming append refuse the marker,
   because partition membership no longer matches the persisted
   salt-map/plan (a replanned pid could collide with a compacted id and
-  silently supersede it). Compact a table once its ingest is closed.
+  silently supersede it). STOP in-flight writers before compacting —
+  the marker blocks new writers, not ones already running, and a
+  concurrent lineage append between the snapshot read and the swap
+  below would be lost.
 - snapshot-retaining tables are rejected: pid-level supersede of a
   retained attempt set has no meaningful time-travel semantics.
 """
@@ -101,6 +108,20 @@ def compact_parts(spark: SparkSession, out_dir: str,
     hw = max((_file_part_index(f) for f in list_part_files(out_dir)),
              default=-1) + 1
 
+    # archival marker BEFORE any new part file exists: from this point
+    # every reader resolves membership through lineage (the directory-
+    # listing fast path is disabled), so in-progress compacted files and
+    # not-yet-deleted small files can never be double-read — including
+    # after a mid-compaction crash, where lineage still describes the
+    # pre-compaction table exactly and a re-run allocates fresh pids
+    # above the orphans. New writers are refused from here on; writers
+    # ALREADY in flight are the caller's responsibility (their lineage
+    # appends after the swap below would be lost) — stop ingest first.
+    os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    attempt = "compact-" + uuid.uuid4().hex[:8]
+    with open(_compact_marker(out_dir), "w") as fh:
+        fh.write(f"{attempt}\n")
+
     # decode the small parts (one task per file), derive host, assign
     # full-size NEW pids above the high-water mark
     import pyarrow as pa  # noqa: F401  (mapInArrow contract)
@@ -120,7 +141,6 @@ def compact_parts(spark: SparkSession, out_dir: str,
         "part_id",
         (F.pmod(F.xxhash64("url"), F.lit(n_new)) + F.lit(hw)).cast("int"))
 
-    attempt = "compact-" + uuid.uuid4().hex[:8]
     new_footers = planned.groupBy("part_id").applyInArrow(
         _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
 
@@ -143,8 +163,5 @@ def compact_parts(spark: SparkSession, out_dir: str,
         except FileNotFoundError:
             pass
 
-    os.makedirs(_meta_dir(out_dir), exist_ok=True)
-    with open(_compact_marker(out_dir), "w") as fh:
-        fh.write(f"{attempt}\n")
     return {"compacted_parts": len(files), "new_parts": n_new,
             "rows": total_rows}

@@ -110,6 +110,15 @@ def prune_partitions(spark: SparkSession, out_dir: str,
         return files
     lin = read_lineage(spark, out_dir, latest=True, as_of=as_of)
     if lin is None:
+        # a table where files may have been deleted (snapshot retention
+        # / compaction) MUST resolve membership through lineage — an
+        # unreadable lineage there (e.g. a vacuum swap in flight) would
+        # otherwise over-approximate to every attempt of every
+        # partition. Fail loudly instead of duplicating rows.
+        if is_retained(out_dir) or is_compacted(out_dir):
+            raise FileNotFoundError(
+                f"lineage unreadable under {out_dir} but the table is "
+                "retained/compacted — membership requires lineage")
         return files
     sel = lin.filter(_lineage_keep_expr(host_eq, ts_range))
     if host_eq is not None:
@@ -161,10 +170,19 @@ def prune_partitions_local(out_dir: str,
             and as_of is None and not is_retained(out_dir)
             and not is_compacted(out_dir)):
         return files
+    def _no_lineage():
+        # same policy as prune_partitions: a retained/compacted table
+        # without readable lineage must fail, not over-approximate
+        if is_retained(out_dir) or is_compacted(out_dir):
+            raise FileNotFoundError(
+                f"lineage unreadable under {out_dir} but the table is "
+                "retained/compacted — membership requires lineage")
+        return files
+
     try:
         d = pads.dataset(lineage_dir(out_dir), format="parquet")
     except Exception:
-        return files
+        return _no_lineage()
     cols = ["partition_id", "file", "min_warc_ts", "max_warc_ts",
             "host_bloom"]
     names = set(d.schema.names)
@@ -175,9 +193,8 @@ def prune_partitions_local(out_dir: str,
     if has_lang_bloom:
         cols.append("lang_bloom")
     if not {"file", "min_warc_ts", "max_warc_ts"} <= names:
-        return files
+        return _no_lineage()
     latest: dict[int, tuple[float, str, bool]] = {}
-    seen_files: set[str] = set()  # every file ANY attempt ever committed
     for batch in d.to_batches(columns=cols):
         n = batch.num_rows
         if n == 0:
@@ -198,7 +215,6 @@ def prune_partitions_local(out_dir: str,
         blooms = batch.column("host_bloom") if probes else None
         lblooms = batch.column("lang_bloom") if has_lang_bloom else None
         for i in range(n):  # per PARTITION metadata row, not per data row
-            seen_files.add(fnames[i])
             ts = commits[i] if commits[i] is not None else float("-inf")
             if as_of is not None and ts > as_of:
                 continue  # attempt is outside the requested snapshot
@@ -378,8 +394,6 @@ def scan_paged(spark: SparkSession, out_dir: str,
     callers wanting a full-table DataFrame should use scan() instead;
     this API exists for interactive, bounded-latency reads.
     """
-    import time as _time
-
     files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq)
     # cursor order must follow the numeric part index, not lexicographic
     # file order: streaming names (part-e{epoch}-{pid}) sort e10 < e2
@@ -389,27 +403,58 @@ def scan_paged(spark: SparkSession, out_dir: str,
                    key=_file_part_index)
     if not files:
         return [], None
+    footer = read_footer(files[0])
+    cols = columns or footer["columns"]
+    ddl = spark_ddl_for(footer["schema"], cols)
+    return paged_decode_loop(
+        spark, files, cols, ddl, host_eq=host_eq, ts_range=ts_range,
+        lang_eq=lang_eq, time_limit_ms=time_limit_ms,
+        page_files=page_files)
+
+
+def paged_decode_loop(spark: SparkSession, files: list[str],
+                      stored_cols: list[str], ddl: str, *,
+                      host_eq: str | None = None,
+                      ts_range: tuple[int, int] | None = None,
+                      lang_eq: str | None = None,
+                      time_limit_ms: int | None = None,
+                      page_files: int = 64,
+                      row_limit: int | None = None,
+                      post=None) -> tuple[list, int | None]:
+    """THE page/cursor/budget loop — shared by scan_paged and the JSON
+    query handler so the folder-granular truncation semantics exist in
+    exactly one place. Decodes `files` (already pruned + part-index
+    sorted) page by page, optionally pipes each page's DataFrame
+    through `post` (filter/projection) before collecting, and stops
+    when the wall-clock budget or row bound is reached — always at a
+    page boundary, so the returned next_cursor never skips or re-reads
+    rows. Returns (rows, next_cursor)."""
+    import time as _time
+
     t0 = _time.time()
     rows: list = []
     pos = 0
     while pos < len(files):
         page = files[pos:pos + page_files]
-        footer = read_footer(page[0])
-        cols = columns or footer["columns"]
-        ddl = spark_ddl_for(footer["schema"], cols)
         paths_df = spark.createDataFrame(
             [(f,) for f in page], "path string").repartition(len(page))
 
         def decode_fn(batches):
             for batch in batches:
                 for p in batch.column("path").to_pylist():
-                    t = read_part_file(p, columns=cols, host_eq=host_eq,
-                                       ts_range=ts_range, lang_eq=lang_eq)
+                    t = read_part_file(p, columns=stored_cols,
+                                       host_eq=host_eq, ts_range=ts_range,
+                                       lang_eq=lang_eq)
                     for rb in t.to_batches(max_chunksize=16384):
                         yield rb
 
-        rows.extend(paths_df.mapInArrow(decode_fn, schema=ddl).collect())
+        df = paths_df.mapInArrow(decode_fn, schema=ddl)
+        if post is not None:
+            df = post(df)
+        rows.extend(df.collect())
         pos += len(page)
+        if row_limit is not None and len(rows) >= row_limit:
+            break
         if time_limit_ms is not None and \
                 (_time.time() - t0) * 1000 >= time_limit_ms:
             break

@@ -298,10 +298,14 @@ def _kernel_name_fmt(cfg: EngineConfig, attempt: str, out_dir: str) -> str:
     """Part-file namespace for one encode attempt. With
     ``retain_superseded`` every attempt gets its own file names (the pid
     stays the trailing integer so paging cursors keep working) and the
-    table is marked snapshot-retaining; otherwise attempts overwrite the
-    canonical per-pid name atomically."""
+    table is marked snapshot-retaining BEFORE the attempt's first file
+    can land (readers must already be lineage-resolved by then);
+    otherwise attempts overwrite the canonical per-pid name atomically."""
     if not cfg.retain_superseded:
         return "part-{pid:06d}.skar"
+    # marking is part of the commit protocol, not mere naming: a marked
+    # table whose retain encode then fails only costs readers the
+    # directory-listing fast path — the safe direction to err
     mark_retained(out_dir)
     return f"part-a{attempt}-{{pid:06d}}.skar"
 
@@ -326,9 +330,13 @@ def is_retained(out_dir: str) -> bool:
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     """Snapshot log: one row per encode attempt (the Iceberg snapshot
     list analog, derived from lineage rather than separate metadata
-    files). `committed_at` of a row is the earliest commit in that
-    attempt — pass any time ≥ it to ``scan(as_of=...)`` /
-    ``read_lineage(as_of=...)`` to time-travel to that snapshot."""
+    files). Partitions of one attempt commit at different instants, so
+    the CONSISTENT anchor for time travel is `last_committed_at`: pass
+    any time ≥ it (and < the next attempt's first commit) to
+    ``scan(as_of=...)`` / ``read_lineage(as_of=...)`` to read that
+    attempt's complete snapshot; an as_of between `committed_at` and
+    `last_committed_at` is a mid-commit instant and yields the torn
+    view that really existed then."""
     lin = read_lineage(spark, out_dir)
     if lin is None:
         raise FileNotFoundError(f"no lineage under {out_dir}")

@@ -40,7 +40,6 @@ response_num_*_limit, truncates at folder (part-file) granularity so
 from __future__ import annotations
 
 import datetime as _dt
-import time as _time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +50,7 @@ from skar_spark.engine.decode import (
     prune_selections,
 )
 from skar_spark.engine.decode_schema import spark_ddl_for
-from skar_spark.engine.partfile import read_footer, read_part_file
+from skar_spark.engine.partfile import read_footer
 
 DEFAULT_MAX_ROWS = 50_000      # reference response_num_*_limit default
 DEFAULT_TIME_LIMIT_MS = 5_000  # reference query.time_limit_ms default
@@ -167,38 +166,23 @@ def run_query(spark: SparkSession, out_dir: str, query: dict) -> dict:
     ddl = spark_ddl_for(footer["schema"], stored)
 
     # --- time-limited decode in part-index order, exact residual ------
+    # (the page/cursor/budget mechanics live in decode.paged_decode_loop,
+    # shared with scan_paged; only the residual + projection differ)
+    from skar_spark.engine.decode import paged_decode_loop
     from skar_spark.engine.encode import with_host
 
     residual = _residual_expr(selections, ts_range)
-    t0 = _time.time()
-    rows: list = []
-    pos = 0
-    page_files = int(query.get("page_files", 64))
-    while pos < len(files):
-        page = files[pos:pos + page_files]
-        paths_df = spark.createDataFrame(
-            [(f,) for f in page], "path string").repartition(len(page))
 
-        def decode_fn(batches):
-            for batch in batches:
-                for p in batch.column("path").to_pylist():
-                    t = read_part_file(p, columns=stored,
-                                       ts_range=ts_range)
-                    yield from t.to_batches(max_chunksize=16384)
-
-        df = paths_df.mapInArrow(decode_fn, schema=ddl)
+    def post(df):
         if "host" in need and "host" not in stored:
             df = with_host(df)
-        rows.extend(df.filter(residual).select(*fields).collect())
-        pos += len(page)
-        if len(rows) >= max_rows:
-            break
-        if time_limit_ms is not None and \
-                (_time.time() - t0) * 1000 >= time_limit_ms:
-            break
+        return df.filter(residual).select(*fields)
 
-    next_cursor = (_file_part_index(files[pos]) if pos < len(files)
-                   else None)
+    rows, next_cursor = paged_decode_loop(
+        spark, files, stored, ddl, ts_range=ts_range,
+        time_limit_ms=time_limit_ms,
+        page_files=int(query.get("page_files", 64)),
+        row_limit=max_rows, post=post)
     return {
         "rows": [{k: _json_safe(v) for k, v in r.asDict().items()}
                  for r in rows],

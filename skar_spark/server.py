@@ -71,8 +71,15 @@ def _make_handler(spark: SparkSession, out_dir: str, lock: threading.Lock):
             try:
                 with lock:  # one query at a time on this driver
                     res = run_query(spark, out_dir, query)
-            except Exception as e:  # surface engine errors as 400s
+            except (ValueError, KeyError, TypeError) as e:
+                # query-shape errors (bad timestamp, wrong types) are
+                # the CLIENT's fault → 400; anything else is a server-
+                # side failure → 500 so syncing clients retry instead
+                # of dead-lettering a valid request
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._send(200, res)
 

@@ -239,15 +239,21 @@ class SkarStreamReader(DataSourceStreamReader):
     (its ingest loop keeps serving queries while new block-range folders
     land, skar/src/skar_runner.rs:107-158).
 
-    Offset model: part files sorted by numeric part index;
-    `{"index": n}` = files emitted so far. That is a valid monotone
-    offset whenever new files only ever sort AFTER existing ones, which
-    the streaming writer guarantees (injective epoch namespace,
-    always-growing pids) and a COMPLETED batch table trivially
-    satisfies (no new files). Not supported: snapshot-retaining tables
-    (a superseding attempt inserts a new file at an existing pid —
-    rejected at stream start) and tailing a batch table mid-resume
-    (gap-filling re-encodes can insert below the high-water mark).
+    Offset model: COMMITTED part files (from lineage, intersected with
+    the directory) sorted by numeric part index; `{"index": n}` = files
+    emitted so far. Lineage is what makes this monotone under
+    concurrent ingest: an epoch's part files are renamed into place in
+    task-completion order (a raw directory listing could surface pid
+    102 before 100 and a count-based offset would skip 100 forever),
+    but the epoch's lineage rows are appended in ONE job AFTER every
+    part landed — so the committed list only ever grows by whole
+    epochs, whose pids all exceed every prior epoch's (injective
+    namespace). A COMPLETED batch table trivially satisfies this too.
+    Not supported: snapshot-retaining tables (a superseding attempt
+    inserts a new file at an existing pid) and compacted tables (files
+    below the high-water mark were removed) — both rejected at stream
+    start; tailing a batch table mid-resume (gap-filling re-encodes
+    insert below the high-water mark) is likewise out of scope.
     """
 
     def __init__(self, options, cols):
@@ -272,7 +278,22 @@ class SkarStreamReader(DataSourceStreamReader):
             _file_part_index,
             list_part_files,
         )
-        return sorted(list_part_files(self.path), key=_file_part_index)
+        from skar_spark.engine.encode import lineage_dir
+
+        on_disk = set(list_part_files(self.path))
+        try:
+            import pyarrow.dataset as pads
+            d = pads.dataset(lineage_dir(self.path), format="parquet")
+            committed: dict[str, None] = {}
+            for b in d.to_batches(columns=["file", "status"]):
+                for f, s in zip(b.column("file").to_pylist(),
+                                b.column("status").to_pylist()):
+                    if s == "committed":
+                        committed[f] = None
+            files = [f for f in committed if f in on_disk]
+        except Exception:
+            files = list(on_disk)  # table has no lineage yet (empty)
+        return sorted(files, key=_file_part_index)
 
     def initialOffset(self) -> dict:
         return {"index": 0}

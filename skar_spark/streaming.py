@@ -180,13 +180,17 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
     can't express). The streaming analog of the reference ingest loop's
     per-stream continuity tracking (skar/src/skar_runner.rs:107-158).
 
-    A session is one host's burst of documents with no gap ≥ `gap_sec`
-    between consecutive arrivals (by event time `warc_ts`). State per
-    host is just (start_us, last_us, n_docs); a session closes — and is
-    emitted downstream — when the event-time watermark passes
-    last_ts + gap, so output is append-mode and late data within the
-    watermark still extends its session. State is O(#active hosts),
-    independent of document volume.
+    A session is one host's burst of documents with no gap > `gap_sec`
+    between consecutive arrivals (by event time `warc_ts`). Sessions
+    separated by a gap WITHIN the data seen so far are closed and
+    emitted immediately (vectorized split on the sorted event times);
+    the trailing open session lives in state — (start_us, last_us,
+    n_docs), O(#active hosts) regardless of volume — and closes when
+    the event-time watermark passes last_ts + gap. Late data within the
+    watermark extends or bridges the OPEN session; a late row older
+    than an already-emitted session starts a new session rather than
+    reopening it (the standard micro-batch sessionization trade — the
+    same semantics as Spark's own sessionization example).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -200,33 +204,57 @@ def stream_sessionize(spark: SparkSession, input_dir: str,
                                str(max_files_per_trigger))
     stream = reader.parquet(input_dir)
     stream = with_host(stream).withWatermark("warc_ts", watermark)
+    gap_us = gap_sec * 1_000_000
 
     def fn(key, pdf_iter, state: GroupState):
-        if state.hasTimedOut:
-            start_us, last_us, n = state.get
-            state.remove()
-            yield pd.DataFrame({
-                "host": [key[0]],
-                "session_start": [pd.to_datetime(start_us, unit="us")],
-                "session_end": [pd.to_datetime(last_us, unit="us")],
-                "n_docs": [n],
+        import numpy as np
+
+        def out(sessions):
+            return pd.DataFrame({
+                "host": [key[0]] * len(sessions),
+                "session_start": [pd.to_datetime(s, unit="us")
+                                  for s, _e, _n in sessions],
+                "session_end": [pd.to_datetime(e, unit="us")
+                                for _s, e, _n in sessions],
+                "n_docs": [n for _s, _e, n in sessions],
             })
+
+        if state.hasTimedOut:
+            seg = tuple(state.get)
+            state.remove()
+            yield out([seg])
             return
-        start_us, last_us, n = (state.get if state.exists
-                                else (None, None, 0))
+
+        parts = []
         for pdf in pdf_iter:  # pandas BATCHES of this host's rows
-            if not len(pdf):
-                continue
-            ts = pdf["warc_ts"].astype("datetime64[us]").astype("int64")
-            mn, mx = int(ts.min()), int(ts.max())
-            start_us = mn if start_us is None else min(start_us, mn)
-            last_us = mx if last_us is None else max(last_us, mx)
-            n += len(ts)
-        if last_us is None:
+            if len(pdf):
+                parts.append(pdf["warc_ts"].astype("datetime64[us]")
+                             .astype("int64").to_numpy())
+        if not parts:
             return
-        state.update((start_us, last_us, n))
-        # close the session when the watermark passes last + gap (ms)
-        state.setTimeoutTimestamp(last_us // 1000 + gap_sec * 1000)
+        ts = np.sort(np.concatenate(parts))
+        # vectorized burst split: one segment per gap-separated burst
+        brk = np.nonzero(np.diff(ts) > gap_us)[0]
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk, [len(ts) - 1]))
+        segs = [(int(ts[a]), int(ts[b]), int(b - a + 1))
+                for a, b in zip(starts, ends)]  # per BURST, not per row
+        if state.exists:
+            segs.append(tuple(state.get))
+        segs.sort()
+        merged = [segs[0]]
+        for s, e, n in segs[1:]:  # per burst-segment, not per data row
+            ps, pe, pn = merged[-1]
+            if s - pe <= gap_us:
+                merged[-1] = (ps, max(pe, e), pn + n)
+            else:
+                merged.append((s, e, n))
+        closed, open_seg = merged[:-1], merged[-1]
+        if closed:
+            yield out(closed)
+        state.update(open_seg)
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(open_seg[1] // 1000 + gap_sec * 1000)
 
     return stream.groupBy("host").applyInPandasWithState(
         fn,

@@ -85,19 +85,18 @@ def test_constant_runs_roundtrip(v, n):
        st.data())
 @SET
 def test_truncated_blob_never_returns_wrong_data(xs, data):
-    """Safety: a truncated encoded blob must raise, never silently
-    decode to something plausible (the part-level checksum is the
-    second line of defense; the framing is the first)."""
+    """Safety: a truncated encoded blob must either raise or decode to
+    EXACTLY what the full blob decodes to (a cut that only removes
+    unconsumed trailing bytes is harmless) — it must never silently
+    yield different, plausible-looking data. The part-level checksum is
+    the second line of defense; this framing property is the first."""
     _codec, blob = encode_auto(pa.array(xs, pa.int64()))
     cut = data.draw(st.integers(1, max(1, len(blob) - 1)))
     try:
         out = decode_array(blob[:cut])
     except Exception:
         return  # raising is the expected behavior
-    # if it decoded at all, it must NOT equal the original silently
-    # with a different length claim satisfied
-    assert not (len(out) == len(xs)
-                and out.equals(pa.array(xs, pa.int64())))
+    assert out.equals(decode_array(blob))
 
 
 def test_timestamp_roundtrip_us():

@@ -146,12 +146,18 @@ def test_stream_sessionize_stateful_gap_sessions(spark, tmp_path):
 
     d = tmp_path / "landing_sess"
     d.mkdir()
-    # file 0: two hosts' sessions (a: 3 docs over 120 s, b: 2 docs)
+    # file 0: two hosts' sessions (a: 3 docs over 120 s, b: 2 docs),
+    # plus host d with TWO bursts separated by an in-batch gap > 600 s
+    # (the internal-gap split must emit the first burst immediately)
     pq.write_table(batch([("https://a.example/1", 0),
                           ("https://a.example/2", 60),
                           ("https://a.example/3", 120),
                           ("https://b.example/1", 30),
-                          ("https://b.example/2", 90)]),
+                          ("https://b.example/2", 90),
+                          ("https://d.example/1", 0),
+                          ("https://d.example/2", 60),
+                          ("https://d.example/3", 2000),
+                          ("https://d.example/4", 2060)]),
                    str(d / "f0.parquet"))
     _time.sleep(0.05)  # oldest-first file order by mtime
     # file 1 advances event time by 2 h; file 2 by 4 h — the batch
@@ -171,12 +177,25 @@ def test_stream_sessionize_stateful_gap_sessions(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
 
-    got = {r.host: r for r in spark.sql("SELECT * FROM sess_out").collect()}
-    assert set(got) == {"a.example", "b.example"}  # c is still open
-    a, b = got["a.example"], got["b.example"]
+    rows = spark.sql("SELECT * FROM sess_out").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.host, []).append(r)
+    # d closed TWICE (in-batch gap + timeout); c's first watermark-probe
+    # event closes by the gap split when its second arrives (7200 s
+    # apart > gap), its last stays open
+    assert set(got) == {"a.example", "b.example", "c.example",
+                        "d.example"}
+    (c,) = got["c.example"]
+    assert c.n_docs == 1 and c.session_start == c.session_end
+    (a,), (b,) = got["a.example"], got["b.example"]
     assert a.n_docs == 3 and b.n_docs == 2
     assert (a.session_end - a.session_start).total_seconds() == 120
     assert (b.session_end - b.session_start).total_seconds() == 60
+    d_sessions = sorted(got["d.example"], key=lambda r: r.session_start)
+    assert [r.n_docs for r in d_sessions] == [2, 2]
+    assert (d_sessions[1].session_start
+            - d_sessions[0].session_end).total_seconds() == 1940
 
 
 def test_transient_failure_retried_with_backoff(spark, tmp_path, monkeypatch):
