@@ -35,6 +35,14 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
 def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
     if n == 0 or width == 0:
         return np.zeros(n, dtype=U64)
+    need = -(-n * width // 8)
+    if len(buf) < need:
+        # fail loudly: np.unpackbits would silently zero-pad a short
+        # buffer, decoding truncated input to plausible-looking zeros
+        # (caught by the hypothesis truncation property)
+        raise ValueError(
+            f"bitpack buffer truncated: {len(buf)} bytes < {need} "
+            f"needed for {n} values x {width} bits")
     bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width,
                          bitorder="little").reshape(n, width).astype(U64)
     shifts = np.arange(width, dtype=U64)
@@ -167,6 +175,10 @@ def validity_to_bytes(arr: pa.Array) -> bytes:
 
 
 def validity_from_bytes(buf: bytes, n: int) -> tuple[pa.Buffer, int]:
+    if len(buf) < -(-n // 8):
+        raise ValueError(
+            f"validity buffer truncated: {len(buf)} bytes < {-(-n // 8)} "
+            f"needed for {n} bits")
     bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n,
                          bitorder="little").astype(bool)
     null_count = int(n - bits.sum())
