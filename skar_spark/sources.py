@@ -280,20 +280,27 @@ class SkarStreamReader(DataSourceStreamReader):
         )
         from skar_spark.engine.encode import lineage_dir
 
+        import os
+
         on_disk = set(list_part_files(self.path))
-        try:
-            import pyarrow.dataset as pads
-            d = pads.dataset(lineage_dir(self.path), format="parquet")
-            committed: dict[str, None] = {}
-            for b in d.to_batches(columns=["file", "status"]):
-                for f, s in zip(b.column("file").to_pylist(),
-                                b.column("status").to_pylist()):
-                    if s == "committed":
-                        committed[f] = None
-            files = [f for f in committed if f in on_disk]
-        except Exception:
-            files = list(on_disk)  # table has no lineage yet (empty)
-        return sorted(files, key=_file_part_index)
+        if not os.path.isdir(lineage_dir(self.path)):
+            # no lineage at all: a brand-new (empty) table, or a static
+            # hand-built directory — same semantics as the batch reader
+            # (membership = listing); no writer races a lineage-less dir
+            return sorted(on_disk, key=_file_part_index)
+        # lineage EXISTS: it is the only valid offset source — a
+        # transient read error must propagate (falling back to the raw
+        # listing would reintroduce the intra-epoch publish-order race)
+        import pyarrow.dataset as pads
+        d = pads.dataset(lineage_dir(self.path), format="parquet")
+        committed: dict[str, None] = {}
+        for b in d.to_batches(columns=["file", "status"]):
+            for f, s in zip(b.column("file").to_pylist(),
+                            b.column("status").to_pylist()):
+                if s == "committed":
+                    committed[f] = None
+        return sorted((f for f in committed if f in on_disk),
+                      key=_file_part_index)
 
     def initialOffset(self) -> dict:
         return {"index": 0}
