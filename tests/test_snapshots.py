@@ -94,6 +94,21 @@ def test_datasource_as_of_option(spark, table):
     assert _content(old) == table["v1"]
 
 
+def test_distributed_and_local_pruners_agree_on_snapshots(spark, table):
+    """The Spark pruner (scan) and the single-process pruner (the
+    DataSource planner) must resolve IDENTICAL file sets on a retained
+    table, for the live view and for every time-travel anchor."""
+    from skar_spark.engine.decode import (
+        prune_partitions,
+        prune_partitions_local,
+    )
+    out = table["out"]
+    for as_of in (None, table["t_v1"], 1.0):
+        dist = prune_partitions(spark, out, as_of=as_of)
+        loc = prune_partitions_local(out, as_of=as_of)
+        assert dist == loc, f"as_of={as_of}"
+
+
 def test_vacuum_expires_superseded_snapshots(spark, table):
     out = table["out"]
     dead = vacuum(spark, out)
