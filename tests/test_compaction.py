@@ -90,6 +90,25 @@ def test_archival_guard_refuses_further_writes(spark, streamed, tmp_path):
         reencode_late(spark, docs, docs.limit(5), out, CFG)
 
 
+def test_query_handler_reads_compacted_table(spark, streamed):
+    """The archival marker blocks writers, not readers: the JSON query
+    handler serves the compacted table exactly (lineage-resolved
+    membership) including cursor paging."""
+    from skar_spark.query import run_query
+    out = streamed  # compacted by the earlier test (module fixture)
+    urls, cursor, hops = [], 0, 0
+    while cursor is not None:
+        res = run_query(spark, out, {"cursor": cursor, "max_rows": 500,
+                                     "page_files": 1,
+                                     "field_selection": ["url"]})
+        urls.extend(r["url"] for r in res["rows"])
+        cursor = res["next_cursor"]
+        hops += 1
+        assert hops < 20
+    assert len(urls) == 3 * PER_FILE
+    assert len(set(urls)) == 3 * PER_FILE  # exactly once
+
+
 def test_compact_noop_below_min_parts(spark, tmp_path):
     from skar_spark.engine.encode import encode_documents
     from skar_spark.synth import synth_documents
