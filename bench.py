@@ -89,6 +89,44 @@ def main() -> None:
     bytes_in, bytes_out = int(agg[0]), int(agg[1])
     timings["encode_job"] = round(enc_sec, 3)
 
+    # distributed golden baseline (untimed): the same docs written as
+    # sorted parquet + zstd-9 through Spark's writer — the cluster-scale
+    # analog of engine/golden.py's pyarrow golden (the reference's own
+    # write shape, write_parquet.rs:232-244). vs_golden = our bytes /
+    # golden bytes; the strict single-file pyarrow comparison lives in
+    # tests/test_engine_roundtrip.py::test_size_le_golden.
+    from skar_spark.engine.encode import with_host
+    gold_dir = "/tmp/skar_bench_golden"
+    shutil.rmtree(gold_dir, ignore_errors=True)
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "parquet.compression.codec.zstd.level", "9")
+    (with_host(docs)
+     .repartition(max(1, n_docs // cfg.target_partition_rows), "host")
+     .sortWithinPartitions("host", "warc_ts", "url").drop("host")
+     .write.mode("overwrite")
+     .option("compression", "zstd").parquet(gold_dir))
+    golden_bytes = sum(
+        os.path.getsize(os.path.join(gold_dir, f))
+        for f in os.listdir(gold_dir) if f.endswith(".parquet"))
+    shutil.rmtree(gold_dir, ignore_errors=True)
+
+    # archive profile (timed separately): the size-optimized operating
+    # point — deep FSST symbol table + zstd6 (see config.ARCHIVE)
+    from skar_spark.config import ARCHIVE
+    import dataclasses
+    acfg = dataclasses.replace(
+        ARCHIVE, target_partition_rows=cfg.target_partition_rows,
+        salt_threshold_rows=cfg.salt_threshold_rows)
+    aout = "/tmp/skar_bench_encode_archive"
+    shutil.rmtree(aout, ignore_errors=True)
+    t0 = time.time()
+    alin = encode_documents(spark, docs, aout, acfg, n_rows=n_docs)
+    aagg = alin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
+    arc_sec = time.time() - t0
+    timings["encode_archive"] = round(arc_sec, 3)
+    arc_out = int(aagg[1])
+    shutil.rmtree(aout, ignore_errors=True)
+
     # decode-verify timing
     from skar_spark.engine.decode import scan
     t0 = time.time()
@@ -123,6 +161,13 @@ def main() -> None:
             "bytes_out": bytes_out,
             "ratio": round(bytes_in / max(bytes_out, 1), 3),
             "gb_per_sec": round(bytes_in / enc_sec / 1e9, 4),
+            "golden_bytes": golden_bytes,
+            "vs_golden": round(bytes_out / max(golden_bytes, 1), 3),
+            "archive": {
+                "bytes_out": arc_out,
+                "gb_per_sec": round(bytes_in / arc_sec / 1e9, 4),
+                "vs_golden": round(arc_out / max(golden_bytes, 1), 3),
+            },
             "cpus": cpus,
         },
     }

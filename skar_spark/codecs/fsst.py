@@ -14,13 +14,22 @@ Deviations from canonical FSST (documented deliberately — this is a
 from-scratch Python-vectorized design, not a port):
 
 - codes are drawn from byte values *provably absent* in the full input
-  buffer (exact np.bincount pass) instead of a dedicated escape byte, so
-  no escaping is ever needed and encode/decode are pure C-speed
-  ``bytes.replace`` passes — the fastest primitive available to Python
-  without native code;
-- encode applies the merges in learned order (multi-pass) rather than a
-  single-pass longest-match; the output is typically slightly larger than
-  canonical FSST but decode remains exact and single-pass-per-symbol.
+  buffer (exact scatter pass) instead of a dedicated escape byte, so no
+  escaping is ever needed and decode is a pure C-speed ``bytes.replace``
+  expansion per code;
+- encode is a LEVELED vectorized pair-merger (numpy): merges are grouped
+  into dependency levels (a merge whose pair references a code assigned
+  at level k runs at level k+1), and each level applies ALL of its merges
+  in one simultaneous vectorized pass — match every pair against a 64 Ki
+  lookup table, resolve overlaps greedily left-to-right via run-parity
+  (within a run of consecutive match positions the greedy picks
+  alternate ones), then compact. Encode cost therefore scales with merge
+  DEPTH (2-4 levels in practice), not symbol count — the single-pass
+  property canonical FSST gets from its code-generated longest-match
+  loop, recovered here with numpy whole-buffer passes. Output bytes may
+  differ slightly from a sequential per-symbol replace (overlap ties
+  resolve differently) but decode is exact either way: expansion in
+  reverse learned order is position-independent.
 
 The whole column chunk's concatenated data buffer is compressed as one
 stream; original string offsets are stored delta+bitpacked, so decode
@@ -61,33 +70,102 @@ def build_symbol_table(sample: bytes, free_codes: list[int],
     return table
 
 
-SEGMENT = 1 << 18  # 256 KiB — keep the working set L2-resident
+SEGMENT = 1 << 18  # 256 KiB — decode segment size (see fsst_decompress)
+
+# vectorized-vs-replace crossover, measured on 49 MB prose: one
+# simultaneous numpy pass ≈ 14 replace passes on the dense first level
+# (31% match positions), ≈ 8 on later levels (smaller buffer, sparser
+# matches make the sparse selection cheaper while replace still pays its
+# full scan) — below these counts sequential C-speed replace wins
+NUMPY_LEVEL_MIN_FIRST = 14
+NUMPY_LEVEL_MIN_REST = 8
+
+
+def merge_levels(table: list[tuple[int, bytes]]
+                 ) -> list[list[tuple[int, bytes]]]:
+    """Group merges into dependency levels for simultaneous application.
+
+    A merge learned at step i can reference only codes assigned at steps
+    < i, so level(merge) = 1 + max(level of referenced codes; raw bytes
+    are level 0). Within one level no merge's input contains another's
+    output code (codes are absent from the raw buffer, and same-level
+    merges can't reference each other by construction), so all of a
+    level's merges can be matched in ONE vectorized pass."""
+    lev_of: dict[int, int] = {}
+    levels: list[list[tuple[int, bytes]]] = []
+    for code, pair in table:
+        lv = 1 + max((lev_of.get(b, 0) for b in pair), default=0)
+        lev_of[code] = lv
+        while len(levels) < lv:
+            levels.append([])
+        levels[lv - 1].append((code, pair))
+    return levels
 
 
 def fsst_compress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
-    """Apply the merge table segment-wise.
+    """Leveled vectorized encode: one simultaneous numpy merge pass per
+    dependency level (2-4 in practice), independent of symbol count.
 
-    All passes run over one cache-resident segment before moving on:
-    the multi-pass replace is memory-bandwidth-bound when streamed over
-    the full buffer (measured 2.2× per-core slowdown at 32-way
-    concurrency), but L2-resident segments keep DRAM traffic ≈ 2 passes
-    total. Merges spanning segment boundaries are skipped — that only
-    costs ratio (≈0.4% at 256 KiB segments), never correctness, because
-    decode expands single code bytes position-independently.
-    """
-    if not table:
+    Per level: match every adjacent byte pair against a 64 Ki LUT,
+    resolve overlapping matches greedily left-to-right (a match is only
+    invalidated by a SELECTED match at the previous position, so within
+    each run of consecutive match positions the greedy picks alternating
+    ones — computable via run-start + parity, no sequential loop), then
+    rewrite selected pair-heads to their codes and drop the consumed
+    second bytes. ~8 streaming O(n) numpy passes per level, vs one
+    search+copy pass per SYMBOL for the old multi-pass bytes.replace —
+    the throughput hot path named by the north rule
+    (reference: skar/src/write_parquet.rs:37-81 leaves compression to
+    the parquet codec; this engine does structural string compression
+    first, so its cost must not scale with the symbol budget)."""
+    if not table or len(data) < 2:
         return data
-    if len(data) <= SEGMENT:
-        for code, pair in table:
-            data = data.replace(pair, bytes([code]))
-        return data
-    out = []
-    for s in range(0, len(data), SEGMENT):
-        seg = data[s:s + SEGMENT]
-        for code, pair in table:
-            seg = seg.replace(pair, bytes([code]))
-        out.append(seg)
-    return b"".join(out)
+    a = np.frombuffer(data, np.uint8)
+    for li, level in enumerate(merge_levels(table)):
+        if len(a) < 2:
+            break
+        if len(level) < (NUMPY_LEVEL_MIN_FIRST if li == 0
+                         else NUMPY_LEVEL_MIN_REST):
+            # small level: sequential C-speed replace per symbol is
+            # cheaper than one vectorized pass (~5 replace-passes' cost)
+            buf = a.tobytes()
+            for code, pair in level:
+                buf = buf.replace(pair, bytes([code]))
+            a = np.frombuffer(buf, np.uint8)
+            continue
+        lut_m = np.zeros(65536, np.bool_)
+        lut_c = np.zeros(65536, np.uint8)
+        for code, pair in level:
+            pv = (pair[0] << 8) | pair[1]
+            lut_m[pv] = True
+            lut_c[pv] = code
+        # full-buffer work is just: pair-match gather, copy, compact —
+        # everything else runs on the (much smaller) match-position set
+        m = lut_m[(a[:-1].astype(np.uint16) << np.uint16(8)) | a[1:]]
+        mpos = np.flatnonzero(m)
+        k = len(mpos)
+        if k == 0:
+            continue
+        # greedy left-to-right overlap resolution, sparsely: a match is
+        # invalidated only by a SELECTED match at the previous position,
+        # so within each run of consecutive match positions the greedy
+        # selects alternating ones — run starts + parity, no seq. loop
+        new_run = np.empty(k, np.bool_)
+        new_run[0] = True
+        np.not_equal(mpos[1:], mpos[:-1] + 1, out=new_run[1:])
+        ridx = np.arange(k, dtype=np.int64)
+        rstart = np.where(new_run, ridx, 0)
+        np.maximum.accumulate(rstart, out=rstart)
+        selpos = mpos[((ridx - rstart) & 1) == 0]
+        # rewrite selected pair heads to codes, drop the consumed tails
+        codes = lut_c[(a[selpos].astype(np.uint16) << np.uint16(8))
+                      | a[selpos + 1]]
+        out = a.copy()
+        out[selpos] = codes
+        keep = np.ones(len(a), np.bool_)
+        keep[selpos + 1] = False
+        a = out[keep]
+    return a.tobytes()
 
 
 def fsst_decompress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
@@ -141,17 +219,51 @@ def free_byte_values(data: bytes, max_codes: int) -> list[int]:
     return [int(v) for v in np.flatnonzero(~present)][:max_codes]
 
 
+def fsst_compress_rows(arr, table: list[tuple[int, bytes]]) -> bytes:
+    """Per-row Arrow-kernel encode: the sequential replace chain run by
+    ``pc.replace_substring`` over the per-row binary array (C++ loop, no
+    Python per pass — measured ~1.5× a ``bytes.replace`` chain). Applied
+    per ROW, a merge never spans row boundaries, so the concatenated
+    result decodes exactly like the buffer-domain output (expansion of
+    single code bytes is position-independent); the only cost is the
+    lost cross-row merges, which the buffer path also forgoes for rows
+    compressed independently. Returns the concatenated data buffer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    r = arr.cast(pa.large_binary())
+    for code, pair in table:
+        r = pc.replace_substring(r, pattern=pair,
+                                 replacement=bytes([code]))
+    r = r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
+    offs = np.frombuffer(r.buffers()[1], np.int64,
+                         count=len(r) + 1 + r.offset)[r.offset:]
+    lo, hi = int(offs[0]), int(offs[-1])
+    return r.buffers()[2].slice(lo, hi - lo).to_pybytes()
+
+
 # --- codec interface (meta, sections) ---------------------------------------
 
-def encode(offs_i64: np.ndarray, data: bytes, cfg) -> tuple[dict, list[bytes]]:
+def encode(offs_i64: np.ndarray, data: bytes, cfg,
+           arr=None) -> tuple[dict, list[bytes]]:
     free = free_byte_values(data, cfg.fsst_max_symbols)
     sample = data[:cfg.fsst_sample_bytes]
     # stop merging once a round's sample gain drops below the configured
-    # fraction — each extra symbol costs one full-buffer replace pass at
+    # fraction — each extra symbol costs roughly one replace pass at
     # encode time, so low-gain symbols are net losses on throughput
     min_count = max(8, int(len(sample) * cfg.fsst_min_pair_count_frac))
     table = build_symbol_table(sample, free, min_count)
-    comp = fsst_compress(data, table)
+    # route: when every level is below the vectorized crossover the
+    # whole table runs as one per-row Arrow replace chain (fastest);
+    # otherwise the leveled buffer path mixes numpy and replace passes
+    levels = merge_levels(table)
+    all_small = all(
+        len(lv) < (NUMPY_LEVEL_MIN_FIRST if i == 0 else NUMPY_LEVEL_MIN_REST)
+        for i, lv in enumerate(levels))
+    if arr is not None and table and all_small and len(arr):
+        comp = fsst_compress_rows(arr, table)
+    else:
+        comp = fsst_compress(data, table)
     f, r, w, obuf = P.delta_encode(offs_i64)
     meta = {"o": [int(f), int(r), int(w)], "raw": len(data)}
     return meta, [serialize_table(table), comp, obuf]

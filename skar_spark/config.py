@@ -20,7 +20,11 @@ class EngineConfig:
 
     # --- compression (mirror of skar's Lz4Raw / Zstd(9) writer options,
     #     reference skar/src/write_parquet.rs:232-244) ---
-    zstd_level: int = 9
+    # level 5 is the r4 default: after FSST structural compression zstd
+    # gains little from deeper search (16sym: zstd5 = 0.972× golden vs
+    # zstd9 = 0.952×) but costs ~2× the CPU; the ARCHIVE profile keeps a
+    # deeper level where size wins over throughput
+    zstd_level: int = 5
 
     # --- codec auto-selection (no analog in the reference: skar always
     #     writes Encoding::Plain — write_parquet.rs:49-53; the selector is
@@ -30,13 +34,13 @@ class EngineConfig:
     selector_margin_fsst: float = 0.95        # fsst must beat plain by 5%
 
     # --- FSST-style string codec ---
-    # 12 symbols is the measured throughput/size operating point (each
-    # symbol costs one full-buffer replace pass at encode AND decode):
-    # on bench prose, 12 sym + zstd9 = 0.93× the plain+zstd9 golden size
-    # at 17 MB/s/core vs 32 sym = 0.82× at 10.8 MB/s/core — the encode
-    # GB/s criterion values the pass count more than the last 10% size
-    # (both are well under the ≤1.0×-of-golden bound)
-    fsst_max_symbols: int = 12                # codes drawn from unused byte values
+    # 16 symbols / zstd5 is the r4 throughput operating point (best-of-3
+    # single-core race on 210 MB sorted webtext, vs the plain+zstd9
+    # golden): 28.8 MB/s/core at 0.972× golden, vs r3's 12sym+zstd9 =
+    # 18.3 MB/s at 0.937× and 24sym+zstd5 = 16.8 MB/s at 0.921×. Encode
+    # GB/s is the north rule's first criterion; the ARCHIVE profile
+    # below serves the size axis (0.78× at r3-like speed).
+    fsst_max_symbols: int = 16                # codes drawn from unused byte values
     fsst_sample_bytes: int = 1 << 16          # symbol table built on ≤64 KiB sample
     fsst_min_pair_count_frac: float = 1 / 400.0  # stop when round gain < 0.25%
     selector_sample_bytes: int = 1 << 18      # byte cap on string trial samples
@@ -73,3 +77,10 @@ class EngineConfig:
 
 
 DEFAULT = EngineConfig()
+
+# size-optimized profile for cold/archival tiers: a deeper symbol table
+# (the leveled vectorized encoder's cost scales with merge DEPTH, not
+# symbol count, so 56 learned symbols cost ~4 level passes) + zstd6 →
+# 0.775× the plain+zstd9 golden size at ~15 MB/s/core (r3's default
+# speed). Use for write-once data where bytes/doc dominates $ at 100 TB.
+ARCHIVE = EngineConfig(fsst_max_symbols=64, zstd_level=6)

@@ -107,23 +107,13 @@ def compact_parts(spark: SparkSession, out_dir: str,
     n_new = max(1, -(-total_rows // cfg.target_partition_rows))
     hw = max((_file_part_index(f) for f in list_part_files(out_dir)),
              default=-1) + 1
-
-    # archival marker BEFORE any new part file exists: from this point
-    # every reader resolves membership through lineage (the directory-
-    # listing fast path is disabled), so in-progress compacted files and
-    # not-yet-deleted small files can never be double-read — including
-    # after a mid-compaction crash, where lineage still describes the
-    # pre-compaction table exactly and a re-run allocates fresh pids
-    # above the orphans. New writers are refused from here on; writers
-    # ALREADY in flight are the caller's responsibility (their lineage
-    # appends after the swap below would be lost) — stop ingest first.
-    os.makedirs(_meta_dir(out_dir), exist_ok=True)
     attempt = "compact-" + uuid.uuid4().hex[:8]
-    with open(_compact_marker(out_dir), "w") as fh:
-        fh.write(f"{attempt}\n")
 
-    # decode the small parts (one task per file), derive host, assign
-    # full-size NEW pids above the high-water mark
+    # build the ENTIRE lazy plan — including the lineage union, whose
+    # analysis validates schema compatibility — BEFORE the irreversible
+    # archival marker below: a table encoded by an older engine version
+    # (e.g. lineage without lang_bloom) must fail pre-flight while the
+    # table is still writable, not after the marker is durable
     import pyarrow as pa  # noqa: F401  (mapInArrow contract)
     footer = read_footer(files[0])
     ddl = spark_ddl_for(footer["schema"], footer["columns"])
@@ -144,9 +134,27 @@ def compact_parts(spark: SparkSession, out_dir: str,
     new_footers = planned.groupBy("part_id").applyInArrow(
         _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
 
-    # one atomic lineage swap: untouched latest rows + compacted rows
+    # one atomic lineage swap: untouched latest rows + compacted rows.
+    # allowMissingColumns backfills nulls for footer columns an older
+    # lineage lacks (readers presence/null-guard every optional column,
+    # e.g. a null lang_bloom just can't prune) — analysis still raises
+    # here, pre-marker, on genuinely incompatible column types.
     keep = lin.filter(~F.col("file").isin(files))
-    newlin = keep.unionByName(new_footers)
+    newlin = keep.unionByName(new_footers, allowMissingColumns=True)
+
+    # archival marker BEFORE any new part file exists (part files are
+    # written only when `newlin` executes below): from this point every
+    # reader resolves membership through lineage (the directory-listing
+    # fast path is disabled), so in-progress compacted files and
+    # not-yet-deleted small files can never be double-read — including
+    # after a mid-compaction crash, where lineage still describes the
+    # pre-compaction table exactly and a re-run allocates fresh pids
+    # above the orphans. New writers are refused from here on; writers
+    # ALREADY in flight are the caller's responsibility (their lineage
+    # appends after the swap below would be lost) — stop ingest first.
+    os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    with open(_compact_marker(out_dir), "w") as fh:
+        fh.write(f"{attempt}\n")
     path = lineage_dir(out_dir)
     tmp, old = path + ".compact", path + ".precompact"
     shutil.rmtree(tmp, ignore_errors=True)

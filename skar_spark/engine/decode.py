@@ -46,6 +46,32 @@ def list_part_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "parts", "part-*.skar")))
 
 
+def committed_files_local(out_dir: str) -> set[str] | None:
+    """COMMITTED file set from lineage, read locally (streamed pyarrow,
+    no Spark job — safe in DataSource planning workers). Returns None
+    when the table has no lineage directory at all (a brand-new table or
+    a static hand-built dir, where the listing IS the membership); a
+    lineage that exists but can't be read raises — falling back to the
+    raw listing would expose uncommitted files. Heals an interrupted
+    vacuum/compaction lineage swap first."""
+    import pyarrow.dataset as pads
+
+    from skar_spark.engine.encode import lineage_dir, recover_lineage_swap
+
+    recover_lineage_swap(out_dir)
+    ldir = lineage_dir(out_dir)
+    if not os.path.isdir(ldir):
+        return None
+    d = pads.dataset(ldir, format="parquet")
+    committed: set[str] = set()
+    for b in d.to_batches(columns=["file", "status"]):
+        for f, s in zip(b.column("file").to_pylist(),
+                        b.column("status").to_pylist()):
+            if s == "committed":
+                committed.add(f)
+    return committed
+
+
 def _lineage_keep_expr(host_eq: str | None,
                        ts_range: tuple[int, int] | None):
     """Zone-map survival predicate over lineage columns (JVM-side)."""
@@ -100,14 +126,20 @@ def prune_partitions(spark: SparkSession, out_dir: str,
 
     files = list_part_files(out_dir)
     no_filters = host_eq is None and ts_range is None and lang_eq is None
-    # fast path: plain full scans trust the directory listing — valid
-    # because non-retained, non-compacted tables never delete files, so
-    # the listing can only over-approximate by uncommitted parts whose
-    # atomic-rename publish makes them complete. Retained/compacted
-    # tables (file deletion possible) always resolve through lineage.
+    # fast path: plain full scans resolve membership from the COMMITTED
+    # lineage set read locally (no Spark job) — the same set the stream
+    # reader tails. The raw listing alone would over-approximate by
+    # uncommitted parts (a crashed batch/epoch), making rows appear on a
+    # full scan that vanish once a predicate triggers lineage-resolved
+    # pruning. Lineage-less directories (static/hand-built) keep
+    # listing-only membership; retained/compacted tables (file deletion
+    # possible) always take the full lineage path below.
     if no_filters and as_of is None and not is_retained(out_dir) \
             and not is_compacted(out_dir):
-        return files
+        committed = committed_files_local(out_dir)
+        if committed is None:
+            return files
+        return [f for f in files if f in committed]
     lin = read_lineage(spark, out_dir, latest=True, as_of=as_of)
     if lin is None:
         # a table where files may have been deleted (snapshot retention
@@ -169,7 +201,13 @@ def prune_partitions_local(out_dir: str,
     if (not probes and ts_range is None and lang_eq is None
             and as_of is None and not is_retained(out_dir)
             and not is_compacted(out_dir)):
-        return files
+        # same committed-membership fast path as prune_partitions: the
+        # raw listing may contain parts whose lineage append never
+        # committed — those must stay invisible on a full scan too
+        committed = committed_files_local(out_dir)
+        if committed is None:
+            return files
+        return [f for f in files if f in committed]
     def _no_lineage():
         # same policy as prune_partitions: a retained/compacted table
         # without readable lineage must fail, not over-approximate
@@ -179,6 +217,8 @@ def prune_partitions_local(out_dir: str,
                 "retained/compacted — membership requires lineage")
         return files
 
+    from skar_spark.engine.encode import recover_lineage_swap
+    recover_lineage_swap(out_dir)  # heal an interrupted vacuum/compact
     try:
         d = pads.dataset(lineage_dir(out_dir), format="parquet")
     except Exception:

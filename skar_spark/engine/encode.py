@@ -66,22 +66,53 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
+def host_stats(df: DataFrame) -> DataFrame:
+    """Per-host (count, bytes) in one map-side-combinable pass — the
+    planning statistic for salting. Bytes matter as much as rows: web
+    hosts skew in DOCUMENT SIZE too (a host of 10× average-length pages
+    makes a 10×-CPU encode chunk at equal row count), and the straggler
+    tail is CPU ∝ bytes, not rows."""
+    return df.groupBy("host").agg(
+        F.count("*").alias("count"),
+        F.sum(sum(F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+                  for c in ("url", "text", "html", "lang"))
+              ).alias("bytes"))
+
+
 def salt_map(df: DataFrame, cfg: EngineConfig,
              host_counts: DataFrame | None = None) -> DataFrame:
-    """The heavy-host map (host → n_salts): exact host counts (map-side
-    combinable agg), kept only above the salt threshold. Small by
-    construction (broadcastable). Persisted by encode_documents so
-    late-data rollback can replan with IDENTICAL partition membership."""
-    hc = host_counts if host_counts is not None \
-        else df.groupBy("host").count()
-    return (hc.filter(F.col("count") > cfg.salt_threshold_rows)
+    """The heavy-host map (host → n_salts, chunk_bytes): hosts above the
+    salt threshold in ROWS or BYTES are split into enough salts that
+    every chunk fits both bounds. Small by construction (broadcastable).
+    Persisted by encode_documents so late-data rollback replans with
+    IDENTICAL partition membership; `chunk_bytes` (estimated bytes per
+    salted chunk) additionally drives deterministic bin-packing of heavy
+    chunks across partitions (plan_partitions)."""
+    hc = host_counts if host_counts is not None else host_stats(df)
+    if "bytes" not in hc.columns:  # legacy row-count-only stats
+        return (hc.filter(F.col("count") > cfg.salt_threshold_rows)
+                .select("host",
+                        F.ceil(F.col("count") / cfg.salt_threshold_rows)
+                        .cast("int").alias("n_salts")))
+    tot = hc.agg(F.sum("count"), F.sum("bytes")).collect()[0]
+    avg_row = (tot[1] or 1) / max(tot[0] or 1, 1)
+    thr_bytes = float(cfg.salt_threshold_rows) * avg_row
+    return (hc.filter((F.col("count") > cfg.salt_threshold_rows)
+                      | (F.col("bytes") > thr_bytes))
             .select("host",
-                    F.ceil(F.col("count") / cfg.salt_threshold_rows)
-                    .cast("int").alias("n_salts")))
+                    F.ceil(F.greatest(
+                        F.col("count") / cfg.salt_threshold_rows,
+                        F.col("bytes") / thr_bytes))
+                    .cast("int").alias("n_salts"),
+                    (F.col("bytes") / F.ceil(F.greatest(
+                        F.col("count") / cfg.salt_threshold_rows,
+                        F.col("bytes") / thr_bytes)))
+                    .cast("long").alias("chunk_bytes")))
 
 
 def _apply_salt(df: DataFrame, heavy: DataFrame) -> DataFrame:
-    df = df.join(F.broadcast(heavy), "host", "left")
+    df = df.join(F.broadcast(heavy.select("host", "n_salts")),
+                 "host", "left")
     return df.withColumn(
         "salt",
         F.when(F.col("n_salts").isNotNull(),
@@ -139,21 +170,108 @@ def plan_partitions_day_hash(df: DataFrame, target_rows: int,
         .cast("int")), num_parts, (d0, buckets, num_parts)
 
 
+def _pack_heavy_chunks(sm_rows, num_parts: int) -> list[tuple]:
+    """Greedy bin-packing of the known heavy (host, salt) chunks across
+    partitions: biggest chunk first into the least-loaded partition.
+    Deterministic given the persisted salt map (sort keys break ties by
+    host), so resume/rollback replans place chunks identically. Returns
+    [(host, salt, part_id)]. Driver-side but METADATA-sized: one entry
+    per heavy chunk, not per row — at 10^12 docs the salt map is KBs."""
+    import heapq
+
+    chunks = []
+    for r in sm_rows:
+        per = (r.chunk_bytes if r.chunk_bytes is not None else 0)
+        for s in range(r.n_salts):
+            chunks.append((per, r.host, s))
+    chunks.sort(key=lambda c: (-c[0], c[1], c[2]))
+    heap = [(0, p) for p in range(num_parts)]  # (load, part_id)
+    out = []
+    for per, host, s in chunks:
+        load, p = heapq.heappop(heap)
+        out.append((host, s, p))
+        heapq.heappush(heap, (load + per, p))
+    return out
+
+
 def plan_partitions(df: DataFrame, num_parts: int,
                     cfg: EngineConfig = DEFAULT,
                     host_counts: DataFrame | None = None,
                     salt: DataFrame | None = None) -> DataFrame:
     """Attach deterministic `part_id` with heavy-host salting.
 
-    Two-phase: (1) exact host counts (map-side combinable agg; cheap —
-    hosts are low-cardinality vs rows), keep only hosts above the salt
-    threshold; (2) broadcast-join that small map and compute
-    salt = xxhash64(url) mod n_salts for heavy hosts, 0 otherwise.
+    Three-phase: (1) per-host (count, bytes) stats (map-side combinable
+    agg; cheap — hosts are low-cardinality vs rows), kept above the salt
+    threshold in rows OR bytes; (2) broadcast-join that small map and
+    compute salt = xxhash64(url) mod n_salts for heavy hosts, 0
+    otherwise; (3) KNOWN heavy chunks get explicit bin-packed part ids
+    (largest-first into least-loaded — the only chunks big enough to
+    matter are exactly the ones the salt map enumerates), light hosts
+    hash uniformly. Packing removes the Poisson tail of several heavy
+    chunks hashing into one partition, which measured as a 3× max/median
+    task-time straggler on the encode stage.
     """
-    df = _with_salt(with_host(df), cfg, host_counts, salt)
+    df = with_host(df)
+    sm = salt if salt is not None else salt_map(df, cfg, host_counts)
+    df = _apply_salt(df, sm)
+    hash_part = F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)) \
+        .cast("int")
+    if "chunk_bytes" not in sm.columns:
+        return df.withColumn("part_id", hash_part)
+    spark = df.sparkSession
+    packed = _pack_heavy_chunks(
+        sm.orderBy("host").collect(), num_parts)
+    if not packed:
+        return df.withColumn("part_id", hash_part)
+    pdf = spark.createDataFrame(
+        packed, "host string, salt int, _packed_part int")
+    df = df.join(F.broadcast(pdf), ["host", "salt"], "left")
     return df.withColumn(
-        "part_id",
-        F.pmod(F.xxhash64("host", "salt"), F.lit(num_parts)).cast("int"))
+        "part_id", F.coalesce(F.col("_packed_part"), hash_part)) \
+        .drop("_packed_part")
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3_x86_32.hashInt (the hash behind HashPartitioning
+    and F.hash for int columns), reimplemented from the public murmur3
+    spec so the driver can plan exact shuffle placement (see
+    _bucket_keys) without launching a job. Returns the SIGNED int32."""
+    k = (x & 0xffffffff) * 0xcc9e2d51 & 0xffffffff
+    k = ((k << 15) | (k >> 17)) & 0xffffffff
+    k = k * 0x1b873593 & 0xffffffff
+    h = (seed ^ k) & 0xffffffff
+    h = ((h << 13) | (h >> 19)) & 0xffffffff
+    h = (h * 5 + 0xe6546b64) & 0xffffffff
+    h ^= 4  # fmix with total byte length (one int = 4)
+    h ^= h >> 16
+    h = h * 0x85ebca6b & 0xffffffff
+    h ^= h >> 13
+    h = h * 0xc2b2ae35 & 0xffffffff
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_keys(n: int) -> list[int]:
+    """For each bucket b in [0, n): an int32 key whose Spark shuffle hash
+    lands EXACTLY in bucket b of an n-way repartition.
+
+    Motivation (measured on the 400k-doc bench): groupBy(part_id) hashes
+    ~2 s-CPU encode groups into shuffle buckets at random — with 64
+    groups in 128 buckets several buckets get 2 groups, and that
+    collision tail was ~40% of the batch wall. Mapping part_id through
+    these keys and repartition(n, "_pk") places one group per task
+    deterministically, so the stage tail is the slowest single group,
+    not the unluckiest bucket."""
+    keys: list[int] = [-1] * n
+    left = n
+    x = 0
+    while left:
+        b = _murmur3_int32(x) % n  # python %: non-negative, == Spark pmod
+        if keys[b] < 0:
+            keys[b] = x
+            left -= 1
+        x += 1
+    return keys
 
 
 def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
@@ -222,8 +340,80 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
     return kernel
 
 
+def _encode_kernel_multi(out_dir: str, cfg: EngineConfig, attempt: str,
+                         name_fmt: str = "part-{pid:06d}.skar"):
+    """mapInArrow kernel over a pre-bucketed exchange: each task holds
+    the rows of exactly one part_id (see _bucket_keys), encoded with the
+    same single-group kernel; a local split handles the (rare) case of
+    several pids sharing a task. Replaces groupBy().applyInArrow with an
+    explicit repartition so group→task placement is deterministic."""
+    one = _encode_kernel(out_dir, cfg, attempt, name_fmt)
+
+    def kernel(batches):
+        batches = [b for b in batches if b.num_rows]
+        if not batches:
+            return
+        t = pa.Table.from_batches(batches)
+        pids = pc.unique(t["part_id"])
+        for pid in pids:
+            sub = t.filter(pc.equal(t["part_id"], pid)) \
+                if len(pids) > 1 else t
+            yield from one(sub).to_batches()
+
+    return kernel
+
+
+def planned_exchange(sub: DataFrame, part_ids: list[int],
+                     num_buckets: int) -> DataFrame:
+    """Repartition `sub` so each part_id in `part_ids` lands alone in
+    its own shuffle bucket: part_id → a key whose Murmur3 hash maps to a
+    distinct bucket of the num_buckets-way exchange."""
+    keys = _bucket_keys(num_buckets)
+    ranked = {pid: keys[i % num_buckets]
+              for i, pid in enumerate(sorted(part_ids))}
+    mapping = F.create_map(
+        *[F.lit(v) for kv in ranked.items() for v in kv])
+    return sub.withColumn("_pk", mapping[F.col("part_id")]) \
+        .repartition(num_buckets, "_pk").drop("_pk")
+
+
 def lineage_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "lineage")
+
+
+# (tmp, old) directory-name suffixes used by the two lineage-rewrite
+# operations (vacuum and compact_parts). Both swap via
+#   write tmp → rename(path, old) → rename(tmp, path) → rmtree(old)
+# so a crash between the two renames leaves BOTH tmp and old but no
+# lineage dir.
+_SWAP_SUFFIXES = ((".vacuum", ".expired"), (".compact", ".precompact"))
+
+
+def recover_lineage_swap(out_dir: str) -> None:
+    """Complete an interrupted lineage swap (vacuum / compaction).
+
+    The swap is two renames; if a crash lands between them the lineage
+    directory is missing while both the fully-written new copy (tmp) and
+    the pre-swap copy (old) still exist. Readers call this before
+    opening lineage: roll FORWARD to tmp when both siblings exist (tmp
+    was completely written and closed before the first rename — it is
+    the committed new view), or back to old if only old survives
+    (defensive; the protocol can't actually leave that state). No-op
+    when the lineage directory is present or no sibling exists."""
+    import shutil
+
+    path = lineage_dir(out_dir)
+    if os.path.isdir(path):
+        return
+    for tmp_sfx, old_sfx in _SWAP_SUFFIXES:
+        tmp, old = path + tmp_sfx, path + old_sfx
+        if os.path.isdir(tmp) and os.path.isdir(old):
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.isdir(old):
+            os.rename(old, path)
+            return
 
 
 def _meta_dir(out_dir: str) -> str:
@@ -276,6 +466,7 @@ def read_lineage(spark: SparkSession, out_dir: str,
     lineage table; usable for reads when the table was encoded with
     ``EngineConfig.retain_superseded=True`` so superseded part files
     still exist)."""
+    recover_lineage_swap(out_dir)  # complete any interrupted swap first
     path = lineage_dir(out_dir)
     try:
         lin = spark.read.parquet(path)
@@ -355,7 +546,15 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[str]:
     snapshot references any more. Returns the deleted file paths.
     Time-travel to commits older than each partition's latest attempt is
     no longer possible afterwards; the current view is untouched. Files
-    in the parts directory that lineage never recorded are left alone."""
+    in the parts directory that lineage never recorded are left alone.
+
+    Crash safety: the lineage rewrite is a temp-dir + two-rename swap;
+    a crash between the renames is healed on the next read by
+    ``recover_lineage_swap`` (roll forward to the fully-written new
+    copy), so lineage is readable at every interruption point. A crash
+    before the file deletes below leaves superseded files on disk as
+    unreferenced orphans — never read (lineage is the membership source
+    of truth); they cost disk space only."""
     import shutil
 
     lin_all = read_lineage(spark, out_dir)
@@ -435,9 +634,8 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     elif num_parts is None:
         if n_rows is None:
             # one pass serves both: total rows for partition planning AND
-            # the per-host counts salting needs (no separate df.count())
-            host_counts = with_host(df).groupBy("host").count()
-            host_counts = host_counts.cache()
+            # the per-host (count, bytes) stats salting needs
+            host_counts = host_stats(with_host(df)).cache()
             n_rows = host_counts.agg(
                 F.sum("count").alias("n")).collect()[0].n or 0
         num_parts = max(1, -(-n_rows // cfg.target_partition_rows))
@@ -478,8 +676,17 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     sm = load_salt_map(spark, out_dir) if resume else None
     stored_meta = load_plan_meta(out_dir) if resume else None
     if sm is None:
+        # cache the host stats: salt_map both aggregates them (global
+        # avg row bytes) and filters them, and the save below would
+        # otherwise recompute the full scan a second time
+        own_stats = host_counts is None
+        if own_stats:
+            host_counts = host_stats(with_host(df)).cache()
         sm = salt_map(with_host(df), cfg, host_counts)
         save_salt_map(spark, out_dir, sm)
+        if own_stats:
+            host_counts.unpersist()
+            host_counts = None
         sm = load_salt_map(spark, out_dir)
     if stored_meta and scheme != "day_hash":
         num_parts = stored_meta["num_parts"]
@@ -540,15 +747,19 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             sub = sub.filter(~F.col("part_id").isin(
                 [p for p in range(lo, min(hi, num_parts)) if p in done]))
         t_b0 = time.time()
-        # grouped applyInArrow over ROWS. Two alternatives were built and
+        # one ROW shuffle, deterministically placed. Exchange format was
         # raced at 1M docs on the 4x8-executor standalone cluster (warm
         # workers, same session): row shuffle 43.6s, map-side Arrow-IPC
-        # blob pack 89.2s, spill-file exchange 129.8s. Packing crosses
-        # the Python boundary twice (map pack + kernel unpack), which
-        # costs more than the JVM's row machinery saves — rows win.
-        footers = sub.groupBy("part_id").applyInArrow(
-            _encode_kernel(out_dir, cfg, attempt,
-                           _kernel_name_fmt(cfg, attempt, out_dir)),
+        # blob pack 89.2s, spill-file exchange 129.8s — packing crosses
+        # the Python boundary twice, costing more than the JVM's row
+        # machinery saves. Placement: groupBy(part_id) hashes groups
+        # into buckets at random (two ~2s-CPU groups colliding in one
+        # bucket was ~40% of batch wall); planned_exchange puts one
+        # group per task, so the stage tail is the slowest GROUP.
+        exch = planned_exchange(sub, batch_ids, len(batch_ids))
+        footers = exch.mapInArrow(
+            _encode_kernel_multi(out_dir, cfg, attempt,
+                                 _kernel_name_fmt(cfg, attempt, out_dir)),
             FOOTER_DDL)
         footers.write.mode("append").parquet(lineage_dir(out_dir))
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "

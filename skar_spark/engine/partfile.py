@@ -279,6 +279,9 @@ def partition_checksum(table: pa.Table) -> bytes:
 def partition_host_bloom(hosts: pa.Array | pa.ChunkedArray,
                          bits_per_key: int = 8) -> bytes:
     import pyarrow.compute as pc
+    # nulls carry no key (lang is nullable per DOCS_DDL): a null-bearing
+    # row group simply can't be pruned by an equality probe, which is
+    # correct — equality with null is never true
     uniq = pc.unique(hosts if isinstance(hosts, pa.Array)
-                     else hosts.combine_chunks())
+                     else hosts.combine_chunks()).drop_null()
     return bloom_from_keys([u.as_py().encode() for u in uniq], bits_per_key)

@@ -44,7 +44,8 @@ def get_spark(cpus: int | None = None, app: str = "skar_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled",
+                os.environ.get("SKAR_UI_ENABLED", "false"))
         .config("spark.sql.parquet.compression.codec", "zstd")
         # shuffle blocks compress ~3-4× better with zstd on webtext —
         # less I/O and page-cache pressure for the clustering shuffle

@@ -276,29 +276,20 @@ class SkarStreamReader(DataSourceStreamReader):
     def _files(self):
         from skar_spark.engine.decode import (
             _file_part_index,
+            committed_files_local,
             list_part_files,
         )
-        from skar_spark.engine.encode import lineage_dir
-
-        import os
 
         on_disk = set(list_part_files(self.path))
-        if not os.path.isdir(lineage_dir(self.path)):
-            # no lineage at all: a brand-new (empty) table, or a static
-            # hand-built directory — same semantics as the batch reader
-            # (membership = listing); no writer races a lineage-less dir
+        # committed_files_local: None = no lineage at all (a brand-new
+        # empty table or a static hand-built directory — membership is
+        # the listing; no writer races a lineage-less dir). When lineage
+        # EXISTS it is the only valid offset source, and a transient
+        # read error propagates (falling back to the raw listing would
+        # reintroduce the intra-epoch publish-order race).
+        committed = committed_files_local(self.path)
+        if committed is None:
             return sorted(on_disk, key=_file_part_index)
-        # lineage EXISTS: it is the only valid offset source — a
-        # transient read error must propagate (falling back to the raw
-        # listing would reintroduce the intra-epoch publish-order race)
-        import pyarrow.dataset as pads
-        d = pads.dataset(lineage_dir(self.path), format="parquet")
-        committed: dict[str, None] = {}
-        for b in d.to_batches(columns=["file", "status"]):
-            for f, s in zip(b.column("file").to_pylist(),
-                            b.column("status").to_pylist()):
-                if s == "committed":
-                    committed[f] = None
         return sorted((f for f in committed if f in on_disk),
                       key=_file_part_index)
 
@@ -356,9 +347,15 @@ def read_paged(spark, path: str, cursor: int = 0, page_files: int = 64,
     if options.get("ts_lo") or options.get("ts_hi"):
         ts_range = (int(options.get("ts_lo") or TS_MIN),
                     int(options.get("ts_hi") or TS_MAX))
+    # every reader-honored pruning option must reach this call too: the
+    # cursor arithmetic and the DataFrame must be derived from the SAME
+    # file list (e.g. an as_of snapshot read on a retain_superseded
+    # table — pruning the latest view here while the reader resolves the
+    # snapshot view would make resumed pagination skip/repeat partitions)
     pruned = prune_partitions_local(
         path, host_eq=options.get("host_eq"), ts_range=ts_range,
-        lang_eq=options.get("lang_eq"))
+        lang_eq=options.get("lang_eq"),
+        as_of=float(options["as_of"]) if options.get("as_of") else None)
     remaining = _page_slice(pruned, cursor, None)
     page = remaining[:page_files]
     nxt = (_file_part_index(remaining[len(page)])

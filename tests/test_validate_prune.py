@@ -40,11 +40,17 @@ def encoded(spark, tmp_path):
 
 
 def _corrupt_one(out: str) -> str:
+    # corrupt the middle of a TEXT chunk specifically: validation
+    # re-reads (url, text), so garbage must land in a chunk it decodes
+    # (a fixed file offset drifts into the unread html blob whenever the
+    # codec operating point changes)
+    from skar_spark.engine.partfile import read_footer
+
     victim = list_part_files(out)[1]
-    size = os.path.getsize(victim)
+    pos, length, _codec = read_footer(victim)["rowgroups"][0]["chunks"]["text"]
     with open(victim, "r+b") as f:
-        f.seek(size // 3)
-        f.write(b"\xde\xad\xbe\xef" * 16)
+        f.seek(pos + length // 2)
+        f.write(b"\xde\xad\xbe\xef" * 8)
     return victim
 
 
