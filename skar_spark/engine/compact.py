@@ -65,6 +65,24 @@ def is_compacted(out_dir: str) -> bool:
     return os.path.exists(_compact_marker(out_dir))
 
 
+def compaction_high_water(out_dir: str) -> int | None:
+    """First part id ABOVE every id a compaction may have allocated, or
+    None when the table isn't compacted / the marker predates high-water
+    recording. A streaming append that namespaces its new pids at or
+    above this value can never collide with (and thus supersede) a
+    compacted partition — see streaming.stream_encode."""
+    import json
+
+    try:
+        with open(_compact_marker(out_dir)) as fh:
+            meta = json.loads(fh.read())
+        return int(meta["pid_high_water"])
+    except FileNotFoundError:
+        return None
+    except (ValueError, KeyError, TypeError):
+        return None  # legacy plain-text marker: high water unknown
+
+
 def assert_not_compacted(out_dir: str, op: str) -> None:
     if is_compacted(out_dir):
         raise ValueError(
@@ -153,8 +171,12 @@ def compact_parts(spark: SparkSession, out_dir: str,
     # ALREADY in flight are the caller's responsibility (their lineage
     # appends after the swap below would be lost) — stop ingest first.
     os.makedirs(_meta_dir(out_dir), exist_ok=True)
+    import json
     with open(_compact_marker(out_dir), "w") as fh:
-        fh.write(f"{attempt}\n")
+        # pid_high_water = first id above everything this compaction may
+        # allocate — recorded so streaming appends can continue above it
+        fh.write(json.dumps({"attempt": attempt,
+                             "pid_high_water": hw + n_new}) + "\n")
     path = lineage_dir(out_dir)
     tmp, old = path + ".compact", path + ".precompact"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -46,14 +46,15 @@ def list_part_files(out_dir: str) -> list[str]:
     return sorted(glob.glob(os.path.join(out_dir, "parts", "part-*.skar")))
 
 
-def committed_files_local(out_dir: str) -> set[str] | None:
-    """COMMITTED file set from lineage, read locally (streamed pyarrow,
-    no Spark job — safe in DataSource planning workers). Returns None
-    when the table has no lineage directory at all (a brand-new table or
-    a static hand-built dir, where the listing IS the membership); a
-    lineage that exists but can't be read raises — falling back to the
-    raw listing would expose uncommitted files. Heals an interrupted
-    vacuum/compaction lineage swap first."""
+def lineage_file_sets_local(out_dir: str
+                            ) -> tuple[set[str], set[str]] | None:
+    """(committed, all-recorded) file sets from lineage, read locally
+    (streamed pyarrow, no Spark job — safe in DataSource planning
+    workers). Returns None when the table has no lineage directory at
+    all (a brand-new table or a static hand-built dir, where the listing
+    IS the membership); a lineage that exists but can't be read raises —
+    falling back to the raw listing would expose uncommitted files.
+    Heals an interrupted vacuum/compaction lineage swap first."""
     import pyarrow.dataset as pads
 
     from skar_spark.engine.encode import lineage_dir, recover_lineage_swap
@@ -64,12 +65,42 @@ def committed_files_local(out_dir: str) -> set[str] | None:
         return None
     d = pads.dataset(ldir, format="parquet")
     committed: set[str] = set()
+    recorded: set[str] = set()
     for b in d.to_batches(columns=["file", "status"]):
         for f, s in zip(b.column("file").to_pylist(),
                         b.column("status").to_pylist()):
+            recorded.add(f)
             if s == "committed":
                 committed.add(f)
-    return committed
+    return committed, recorded
+
+
+def committed_files_local(out_dir: str) -> set[str] | None:
+    sets = lineage_file_sets_local(out_dir)
+    return None if sets is None else sets[0]
+
+
+def hot_tail_files(out_dir: str) -> list[str]:
+    """The HOT TAIL: part files on disk with no lineage row at all —
+    the in-progress (not yet committed) streaming epoch or batch. The
+    mirror of the reference serving its uncommitted in-memory tail
+    alongside cold folders (query/data_provider.rs:56-105,
+    state.rs:82-107). Only meaningful on plain tables: retained /
+    compacted tables delete files, so an unrecorded file there is a
+    crash orphan, not fresh data — refused."""
+    from skar_spark.engine.compact import is_compacted
+    from skar_spark.engine.encode import is_retained
+
+    if is_retained(out_dir) or is_compacted(out_dir):
+        raise ValueError(
+            f"include_hot refused on {out_dir}: retained/compacted "
+            "tables delete files, so unrecorded on-disk files are crash "
+            "orphans — the hot tail exists only on plain tables")
+    sets = lineage_file_sets_local(out_dir)
+    if sets is None:
+        return []
+    _committed, recorded = sets
+    return [f for f in list_part_files(out_dir) if f not in recorded]
 
 
 def _lineage_keep_expr(host_eq: str | None,
@@ -109,7 +140,8 @@ def prune_partitions(spark: SparkSession, out_dir: str,
                      host_eq: str | None = None,
                      ts_range: tuple[int, int] | None = None,
                      lang_eq: str | None = None,
-                     as_of: float | None = None) -> list[str]:
+                     as_of: float | None = None,
+                     include_hot: bool = False) -> list[str]:
     """Distributed partition pruning via lineage zone maps + the host and
     lang bloom families — the mirror of the folder index seek
     (db/mod.rs:217-305) + prune_query folder skipping (handler.rs:144-158).
@@ -120,11 +152,19 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     before that unix time per partition — Iceberg time travel on tables
     encoded with ``retain_superseded``). On a snapshot-retaining table
     the surviving set always comes from lineage: superseded attempt
-    files still on disk are never returned."""
+    files still on disk are never returned.
+
+    `include_hot` additionally serves the HOT TAIL — part files whose
+    lineage row has not committed yet (the in-progress streaming epoch)
+    — alongside the committed cold set, the reference's hot-tier union
+    (data_provider.rs:56-105). Hot files carry no pruning metadata, so
+    they always survive pruning; exact predicates still apply inside
+    the read kernel. Plain tables only."""
     from skar_spark.engine.compact import is_compacted
     from skar_spark.engine.encode import is_retained
 
     files = list_part_files(out_dir)
+    hot = set(hot_tail_files(out_dir)) if include_hot else set()
     no_filters = host_eq is None and ts_range is None and lang_eq is None
     # fast path: plain full scans resolve membership from the COMMITTED
     # lineage set read locally (no Spark job) — the same set the stream
@@ -139,7 +179,7 @@ def prune_partitions(spark: SparkSession, out_dir: str,
         committed = committed_files_local(out_dir)
         if committed is None:
             return files
-        return [f for f in files if f in committed]
+        return [f for f in files if f in committed or f in hot]
     lin = read_lineage(spark, out_dir, latest=True, as_of=as_of)
     if lin is None:
         # a table where files may have been deleted (snapshot retention
@@ -165,7 +205,9 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     # commit idempotent), or orphaned by a crash between a vacuum/
     # compaction lineage swap and its file deletes. All four must not
     # be read; readers only ever see committed data exactly once.
-    return [f for f in files if f in survived]
+    # (`include_hot` deliberately re-admits the not-yet-committed class
+    # on plain tables — unprunable, exact-filtered in the kernel.)
+    return [f for f in files if f in survived or f in hot]
 
 
 def prune_partitions_local(out_dir: str,
@@ -173,7 +215,8 @@ def prune_partitions_local(out_dir: str,
                            ts_range: tuple[int, int] | None = None,
                            any_hosts: list[str] | None = None,
                            lang_eq: str | None = None,
-                           as_of: float | None = None
+                           as_of: float | None = None,
+                           include_hot: bool = False
                            ) -> list[str]:
     """Single-process partition pruning for contexts that cannot launch a
     Spark job (the Python DataSource planning worker). The analog of the
@@ -195,6 +238,7 @@ def prune_partitions_local(out_dir: str,
     from skar_spark.engine.encode import is_retained, lineage_dir
 
     files = list_part_files(out_dir)
+    hot = set(hot_tail_files(out_dir)) if include_hot else set()
     probes = list(any_hosts or [])
     if host_eq is not None:
         probes = [host_eq]
@@ -204,10 +248,11 @@ def prune_partitions_local(out_dir: str,
         # same committed-membership fast path as prune_partitions: the
         # raw listing may contain parts whose lineage append never
         # committed — those must stay invisible on a full scan too
+        # (unless the caller asked for the hot tail)
         committed = committed_files_local(out_dir)
         if committed is None:
             return files
-        return [f for f in files if f in committed]
+        return [f for f in files if f in committed or f in hot]
     def _no_lineage():
         # same policy as prune_partitions: a retained/compacted table
         # without readable lineage must fail, not over-approximate
@@ -272,8 +317,9 @@ def prune_partitions_local(out_dir: str,
     survived = {f for (_ts, f, k) in latest.values() if k}
     # lineage is the source of truth for membership (see
     # prune_partitions): superseded, out-of-snapshot, uncommitted, and
-    # crash-orphaned files are all excluded
-    return [f for f in files if f in survived]
+    # crash-orphaned files are all excluded — include_hot re-admits the
+    # uncommitted class on plain tables (unprunable, exact-filtered)
+    return [f for f in files if f in survived or f in hot]
 
 
 def prune_selections(spark: SparkSession, out_dir: str,
@@ -331,7 +377,8 @@ def scan(spark: SparkSession, out_dir: str,
          host_eq: str | None = None,
          ts_range: tuple[int, int] | None = None,
          lang_eq: str | None = None,
-         as_of: float | None = None) -> DataFrame:
+         as_of: float | None = None,
+         include_hot: bool = False) -> DataFrame:
     """Distributed decode: one task per part file, Arrow batches out.
 
     Predicates are EXACT: partitions and row groups that can't match are
@@ -343,9 +390,12 @@ def scan(spark: SparkSession, out_dir: str,
     `as_of` (unix seconds) time-travels to the snapshot committed at or
     before that instant — meaningful on tables encoded with
     ``EngineConfig.retain_superseded=True`` (superseded attempt files are
-    kept until ``vacuum``); before the first commit the scan is empty."""
+    kept until ``vacuum``); before the first commit the scan is empty.
+
+    ``include_hot=True`` unions the hot tail (uncommitted in-progress
+    epoch) with the committed cold set — see prune_partitions."""
     files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq,
-                             as_of=as_of)
+                             as_of=as_of, include_hot=include_hot)
     # schema from the first footer (fixed schema across partitions)
     all_files = files or list_part_files(out_dir)
     if not all_files:

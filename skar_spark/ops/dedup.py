@@ -14,6 +14,8 @@ for the LSH-bucketed variant.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from skar_spark.ops.relational import load, _spread
@@ -334,7 +336,28 @@ _TOPK = 10
 _N_QUERIES = 8
 
 
+# brute-force guard: the crossJoin below scores _N_QUERIES × n pairs;
+# above this base-table size the documented-brute baseline must not be
+# runnable by accident — q_ann_lsh is the scale path. Override for
+# deliberate offline ground-truth runs via SKAR_ALLOW_BRUTE=1.
+_COSINE_BRUTE_MAX_ROWS = 2_000_000
+
+
 def q_cosine_topk(spark, sf):
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        n = pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    except (OSError, IsADirectoryError):
+        n = load(spark, sf, "embeddings").count()
+    if n > _COSINE_BRUTE_MAX_ROWS and not os.environ.get("SKAR_ALLOW_BRUTE"):
+        raise ValueError(
+            f"cosine_topk is the brute-force correctness baseline "
+            f"(crossJoin, {_N_QUERIES}×{n} scored pairs) and refuses "
+            f"bases over {_COSINE_BRUTE_MAX_ROWS} rows — use ann_lsh, "
+            "or set SKAR_ALLOW_BRUTE=1 for a deliberate offline run")
     e = load(spark, sf, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
@@ -399,6 +422,27 @@ _ANN_MIN_COS = 0.2
 _ANN_TARGET_BUCKET = 32
 _ANN_TABLES = 4
 _ANN_BUCKET_CAP = 512
+# below this base size the lazy double-compute beats the staging write
+# (sf0.1 = 60k rows measured 4.69 s lazy vs 4.96 s staged); force
+# staging in tests / small clusters with SKAR_ANN_STAGE=1
+_ANN_STAGE_MIN_ROWS = 200_000
+
+
+def _cleanup_stale_stages(stage_root: str, keep: str) -> None:
+    """Remove previous ann_lsh stage dirs under `stage_root` (keyed by
+    (sf, n, planes) — a re-run with the same inputs reuses nothing, so
+    older stages are dead weight; bounded to ONE live stage dir)."""
+    import shutil
+
+    if "://" in stage_root:
+        return  # object-store roots manage lifecycle via bucket policy
+    try:
+        for name in os.listdir(stage_root):
+            if name.startswith("skar_ann_stage_") and name != keep:
+                shutil.rmtree(os.path.join(stage_root, name),
+                              ignore_errors=True)
+    except OSError:
+        pass
 
 
 def n_planes(n: int) -> int:
@@ -522,25 +566,37 @@ def q_ann_lsh(spark, sf):
     w = Window.partitionBy("tbl", "bucket").orderBy("vec_id")
     capped_lazy = (bucketed.withColumn("rn", F.row_number().over(w))
                    .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
-    # staging root must be storage every executor AND the driver can
-    # read (the write happens executor-side, the metadata row-count
-    # read driver-side): local /tmp is only valid on local[..] or a
-    # single-node cluster — set SKAR_STAGE_DIR to a shared POSIX
-    # filesystem (e.g. NFS) on a multi-node deployment; an object-store
-    # URI would additionally need the os.listdir metadata scan below
-    # replaced with a spark.read row count
-    tag = hashlib.md5(f"{sf}|{n}|{planes}".encode()).hexdigest()[:10]
-    stage_root = os.environ.get("SKAR_STAGE_DIR", "/tmp")
-    stage_dir = f"{stage_root}/skar_ann_stage_{tag}"
-    capped_lazy.write.mode("overwrite").parquet(stage_dir)
-    capped = spark.read.parquet(stage_dir)
+    if n < _ANN_STAGE_MIN_ROWS and not os.environ.get("SKAR_ANN_STAGE"):
+        # small base: the double-compute of the lazy self-join is
+        # cheaper than the staging write (measured at sf0.1: staged
+        # 4.96 s vs lazy 4.69 s) — staging pays off when the bucketing
+        # kernel's cost dominates the extra parquet round-trip
+        capped = capped_lazy
+    else:
+        # staging root must be storage every executor AND the driver
+        # can reach: local /tmp is only valid on local[..] or a
+        # single-node cluster — set SKAR_STAGE_DIR to a shared
+        # filesystem (NFS) or an object-store URI on a multi-node
+        # deployment (URI roots count rows via spark.read instead of
+        # local parquet-footer reads)
+        tag = hashlib.md5(f"{sf}|{n}|{planes}".encode()).hexdigest()[:10]
+        stage_root = os.environ.get("SKAR_STAGE_DIR", "/tmp")
+        stage_dir = f"{stage_root}/skar_ann_stage_{tag}"
+        _cleanup_stale_stages(stage_root, keep=f"skar_ann_stage_{tag}")
+        capped_lazy.write.mode("overwrite").parquet(stage_dir)
+        capped = spark.read.parquet(stage_dir)
 
-    kept = sum(pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
-               for f in os.listdir(stage_dir) if f.endswith(".parquet"))
-    dropped = n * _ANN_TABLES - kept
-    if dropped:
-        print(f"[ann_lsh] bucket cap {_ANN_BUCKET_CAP} dropped {dropped} "
-              f"of {n * _ANN_TABLES} table entries", file=sys.stderr)
+        if "://" in stage_root:
+            kept = capped.count()  # object store: no local footers
+        else:
+            kept = sum(
+                pq.ParquetFile(os.path.join(stage_dir, f)).metadata.num_rows
+                for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+        dropped = n * _ANN_TABLES - kept
+        if dropped:
+            print(f"[ann_lsh] bucket cap {_ANN_BUCKET_CAP} dropped "
+                  f"{dropped} of {n * _ANN_TABLES} table entries",
+                  file=sys.stderr)
 
     l = capped.select(F.col("vec_id").alias("a"), F.col("v").alias("va"),
                       "tbl", "bucket")

@@ -142,7 +142,15 @@ def run_query(spark: SparkSession, out_dir: str, query: dict) -> dict:
         prune_sels.append({"hosts": hosts or None, "ts_range": ts_range,
                            "langs": list(s.get("langs") or []) or None})
     surviving = prune_selections(spark, out_dir, prune_sels)
-    files = sorted((f for f in surviving if _file_part_index(f) >= cursor),
+    members = set(surviving)
+    if query.get("include_hot"):
+        # hot-tier union (reference data_provider.rs:56-105 /
+        # state.rs:82-107): also serve the in-progress epoch's files —
+        # no pruning metadata exists for them, so they always survive;
+        # the exact residual below still applies
+        from skar_spark.engine.decode import hot_tail_files
+        members |= set(hot_tail_files(out_dir))
+    files = sorted((f for f in members if _file_part_index(f) >= cursor),
                    key=_file_part_index)
 
     empty = {"rows": [], "num_rows": 0, "truncated": False,

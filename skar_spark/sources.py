@@ -138,6 +138,10 @@ class SkarReader(DataSourceReader):
         # so the planner can resolve any past snapshot from lineage
         ao = options.get("as_of")
         self.as_of = float(ao) if ao else None
+        # hot-tier union (reference data_provider.rs:56-105): serve the
+        # in-progress uncommitted epoch alongside committed parts
+        self.include_hot = str(options.get("include_hot", "")).lower() \
+            in ("1", "true")
         self.prune_hosts: list[str] = []  # prune-only (url equality)
 
     # -- filter pushdown (planning time, driver side) ------------------
@@ -195,7 +199,7 @@ class SkarReader(DataSourceReader):
         files = prune_partitions_local(
             self.path, host_eq=self.host_eq, ts_range=self._ts_range(),
             any_hosts=self.prune_hosts or None, lang_eq=self.lang_eq,
-            as_of=self.as_of)
+            as_of=self.as_of, include_hot=self.include_hot)
         files = _page_slice(files, self.cursor, self.page_files)
         return [SkarPartition(f) for f in files]
 

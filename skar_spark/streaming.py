@@ -96,10 +96,27 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     file) — quarantining is not counted against the retry budget, and
     every quarantined file is visible on disk, never silently dropped.
     """
-    from skar_spark.engine.compact import assert_not_compacted
+    from skar_spark.engine.compact import (
+        compaction_high_water,
+        is_compacted,
+    )
     from skar_spark.synth import DOCS_DDL
 
-    assert_not_compacted(out_dir, "streaming append")
+    # streaming may continue onto a compacted table: every appended pid
+    # is namespaced AT OR ABOVE the compaction high-water mark, so a new
+    # epoch can never collide with (= silently supersede via latest-view)
+    # a compacted partition id. Batch resume / rollback still refuse —
+    # their replanned pids live below the mark.
+    pid_floor = 0
+    if is_compacted(out_dir):
+        hw = compaction_high_water(out_dir)
+        if hw is None:
+            raise ValueError(
+                f"streaming append refused: {out_dir} was compacted by an "
+                "engine version that did not record the pid high-water "
+                "mark — appended part ids could collide with compacted "
+                "ones")
+        pid_floor = hw
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
@@ -121,7 +138,7 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
         # part_id = epoch·parts_per_batch + local_pid never collides, and
         # the file name embeds the epoch so even an id bug could not
         # overwrite another epoch's file. Fail loudly at the int32 bound.
-        base = int(epoch_id) * parts_per_batch
+        base = pid_floor + int(epoch_id) * parts_per_batch
         if base + parts_per_batch >= 2 ** 31:
             raise OverflowError(
                 f"epoch {epoch_id} exceeds the int32 part-id namespace "

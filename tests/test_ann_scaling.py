@@ -213,3 +213,39 @@ def test_bucket_kernel_matches_expression(spark, planted):
         want = {(r.vec_id, t): r.bucket for r in base.select(
             "vec_id", _bucket_expr(t, planes).alias("bucket")).collect()}
         assert {k: v for k, v in got.items() if k[1] == t} == want
+
+
+def test_ann_stage_dir_redirect_and_cleanup(spark, monkeypatch, tmp_path):
+    """VERDICT r03 item 5: SKAR_STAGE_DIR redirects the staging root,
+    SKAR_ANN_STAGE forces staging below the size threshold, results
+    match the unstaged plan, and stale stage dirs are cleaned up."""
+    import os
+
+    from skar_spark.ops.dedup import q_ann_lsh
+
+    sf = "/root/testdata/sf0.001"
+    base = {(r.a, r.b, r.cos) for r in q_ann_lsh(spark, sf).collect()}
+
+    stale = tmp_path / "skar_ann_stage_deadbeef00"
+    stale.mkdir()
+    monkeypatch.setenv("SKAR_STAGE_DIR", str(tmp_path))
+    monkeypatch.setenv("SKAR_ANN_STAGE", "1")
+    staged = {(r.a, r.b, r.cos) for r in q_ann_lsh(spark, sf).collect()}
+
+    assert staged == base
+    dirs = [d for d in os.listdir(tmp_path)
+            if d.startswith("skar_ann_stage_")]
+    assert len(dirs) == 1                 # the live stage dir ...
+    assert not stale.exists()             # ... and the stale one is gone
+
+
+def test_cosine_brute_guard(spark, monkeypatch):
+    """VERDICT r03 item 6: the brute-force baseline refuses oversized
+    bases unless explicitly allowed."""
+    import skar_spark.ops.dedup as D
+
+    monkeypatch.setattr(D, "_COSINE_BRUTE_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="brute-force"):
+        D.q_cosine_topk(spark, "/root/testdata/sf0.001")
+    monkeypatch.setenv("SKAR_ALLOW_BRUTE", "1")
+    assert D.q_cosine_topk(spark, "/root/testdata/sf0.001").count() > 0

@@ -76,11 +76,13 @@ def test_compact_pruned_point_read_still_exact(spark, streamed):
     assert any(r.url == some for r in got)
 
 
-def test_archival_guard_refuses_further_writes(spark, streamed, tmp_path):
+def test_archival_guard_refuses_batch_writers(spark, streamed, tmp_path):
+    """Batch resume and late-data rollback replan pids BELOW the
+    compaction high-water mark, so they stay refused (streaming append
+    namespaces above it and is allowed — tested at the end of this
+    module)."""
     out = streamed
     assert is_compacted(out)
-    with pytest.raises(ValueError, match="compacted"):
-        stream_encode(spark, str(tmp_path / "landing_x"), out, CFG)
     from skar_spark.engine.encode import encode_documents, reencode_late
     from skar_spark.synth import synth_documents
     docs = synth_documents(spark, 100, partitions=2)
@@ -154,3 +156,50 @@ def test_crash_orphan_files_never_resurrected(spark, tmp_path):
     expect = sum(1 for r in scan(spark, out).select("url").collect()
                  if r.url.split("://")[1].split("/")[0] == host)
     assert got == expect
+
+
+def test_stream_append_after_compaction(spark, streamed, tmp_path):
+    """VERDICT r03 item 7: streaming may continue onto a compacted table
+    — appended pids are namespaced at or above the recorded high-water
+    mark, so they can never collide with (and supersede) compacted ids.
+    Exactly-once totals and pruned point reads must hold across the
+    archival boundary."""
+    from skar_spark.engine.compact import compaction_high_water
+    from skar_spark.engine.decode import _file_part_index
+
+    out = streamed  # module fixture; compact here if running standalone
+    if not is_compacted(out):
+        compact_parts(spark, out, EngineConfig(max_row_group_size=500,
+                                               target_partition_rows=1_000))
+    hw = compaction_high_water(out)
+    assert hw is not None
+    before = {(r.url, r.text)
+              for r in scan(spark, out).select("url", "text").collect()}
+    files_before = set(list_part_files(out))
+
+    d = tmp_path / "landing_append"
+    d.mkdir()
+    new = synth_batch(np.arange(9_000, 9_000 + PER_FILE))
+    pq.write_table(new, str(d / "late.parquet"))
+    # fresh checkpoint: a new landing source restarts epoch numbering;
+    # the high-water floor keeps its pids disjoint from everything prior
+    stream_encode(spark, str(d), out, CFG, parts_per_batch=2,
+                  checkpoint_dir=str(tmp_path / "ckpt_append")
+                  ).awaitTermination(120)
+
+    appended = set(list_part_files(out)) - files_before
+    assert appended
+    assert all(_file_part_index(f) >= hw for f in appended)
+    back = {(r.url, r.text)
+            for r in scan(spark, out).select("url", "text").collect()}
+    want = before | {(u.as_py(), t.as_py())
+                     for u, t in zip(new["url"], new["text"])}
+    assert back == want  # exactly once: nothing lost, nothing doubled
+
+    # pruned point read across old + appended parts stays exact
+    some = sorted(u for u, _ in want)[0]
+    host = some.split("://")[1].split("/")[0]
+    got = {r.url for r in scan(spark, out, host_eq=host)
+           .select("url").collect()}
+    assert got == {u for u, _ in want
+                   if u.split("://")[1].split("/")[0] == host}
