@@ -83,7 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from skar_spark.ops import dedup, engine_queries, relational, textops
+    from skar_spark.ops import (dedup, engine_queries, multimodal,
+                                relational, textops)
     return {
         "range_filter": relational.SQL_RANGE_FILTER,
         "inset_disjunction": relational.SQL_INSET_DISJUNCTION,
@@ -112,6 +113,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.SQL_LANG_ID,
         "doc_fingerprint": textops.SQL_DOC_FINGERPRINT,
         "multimodal_meta": textops.SQL_MULTIMODAL_META,
+        # full multimodal oracles (VERDICT r03 item 4): fake header
+        # parse via hex(blob) byte peeks; the mod-2^64 polynomial
+        # fingerprint via a HUGEINT struct reduce; frame sampling via
+        # length arithmetic + first-8-bytes-LE hex gather
+        "multimodal_decode": multimodal.SQL_MULTIMODAL_DECODE,
+        "multimodal_frames": multimodal.SQL_MULTIMODAL_FRAMES,
         "bpe_token_count": textops.SQL_BPE_TOKEN_COUNT,
         "asof_join": relational.SQL_ASOF_JOIN,
         "range_join": relational.SQL_RANGE_JOIN,

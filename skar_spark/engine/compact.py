@@ -180,7 +180,9 @@ def compact_parts(spark: SparkSession, out_dir: str,
     path = lineage_dir(out_dir)
     tmp, old = path + ".compact", path + ".precompact"
     shutil.rmtree(tmp, ignore_errors=True)
-    newlin.write.mode("overwrite").parquet(tmp)
+    # globally sorted by min_warc_ts (range-partitioned files): keeps
+    # the lineage seek index tight after compaction
+    newlin.sort("min_warc_ts").write.mode("overwrite").parquet(tmp)
     lin.unpersist()
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)

@@ -210,13 +210,85 @@ def prune_partitions(spark: SparkSession, out_dir: str,
     return [f for f in files if f in survived or f in hot]
 
 
+def _iter_lineage_rowgroups(ldir: str, cols: list[str],
+                            ts_range: tuple[int, int] | None,
+                            seek_stats: dict | None = None):
+    """Row-group-seeking lineage reader — the single-node analog of the
+    reference's keyed mdbx range cursor (db/mod.rs:217-305). Lineage is
+    written sorted by ``min_warc_ts`` (per batch/epoch file, globally
+    after vacuum/compaction), so each parquet row group's statistics
+    bound the partitions it describes; a ts-filtered planning pass reads
+    only the row groups that could contain surviving partitions instead
+    of streaming the whole lineage table. At 10^6 partitions this turns
+    per-query planning from O(#partitions) into O(matching row groups).
+
+    Skip rule (safe over-approximation of the per-row zone-map test): a
+    row group is skipped only when EVERY row fails the ts test —
+    min-of-min_warc_ts ≥ hi (each partition starts at/after the range
+    end) or max-of-max_warc_ts < lo (each ends before the range start).
+    Row groups with null stats or null ts rows are always read. Columns
+    missing in older lineage files (schema evolution) are null-filled.
+
+    `seek_stats`, when given, is filled with {"rg_total", "rg_read"}
+    counters (test/observability hook)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    def _us(v):
+        # parquet timestamp stats arrive as datetime (tz-aware or not)
+        if hasattr(v, "timestamp"):
+            import datetime as _dt
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return v.timestamp() * 1e6
+        return float(v)
+
+    lo_q, hi_q = (ts_range if ts_range is not None else (None, None))
+    for fp in sorted(_glob.glob(os.path.join(ldir, "*.parquet"))):
+        pf = pq.ParquetFile(fp)
+        md = pf.metadata
+        names = [md.row_group(0).column(j).path_in_schema
+                 for j in range(md.num_columns)] if md.num_row_groups \
+            else []
+        have = [c for c in cols if c in names]
+        ci_lo = names.index("min_warc_ts") if "min_warc_ts" in names \
+            else None
+        ci_hi = names.index("max_warc_ts") if "max_warc_ts" in names \
+            else None
+        for rg in range(md.num_row_groups):
+            if seek_stats is not None:
+                seek_stats["rg_total"] = seek_stats.get("rg_total", 0) + 1
+            if ts_range is not None and ci_lo is not None \
+                    and ci_hi is not None:
+                s_lo = md.row_group(rg).column(ci_lo).statistics
+                s_hi = md.row_group(rg).column(ci_hi).statistics
+                if (s_lo is not None and s_hi is not None
+                        and s_lo.has_min_max and s_hi.has_min_max
+                        and not s_lo.null_count and not s_hi.null_count
+                        and (_us(s_lo.min) >= hi_q
+                             or _us(s_hi.max) < lo_q)):
+                    continue  # no partition in this row group survives
+            if seek_stats is not None:
+                seek_stats["rg_read"] = seek_stats.get("rg_read", 0) + 1
+            t = pf.read_row_group(rg, columns=have)
+            for c in cols:  # null-backfill columns older files lack
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, pa.binary()
+                                    if c.endswith("bloom")
+                                    else pa.string()))
+            yield from t.select(cols).to_batches()
+
+
 def prune_partitions_local(out_dir: str,
                            host_eq: str | None = None,
                            ts_range: tuple[int, int] | None = None,
                            any_hosts: list[str] | None = None,
                            lang_eq: str | None = None,
                            as_of: float | None = None,
-                           include_hot: bool = False
+                           include_hot: bool = False,
+                           seek_stats: dict | None = None
                            ) -> list[str]:
     """Single-process partition pruning for contexts that cannot launch a
     Spark job (the Python DataSource planning worker). The analog of the
@@ -279,8 +351,19 @@ def prune_partitions_local(out_dir: str,
         cols.append("lang_bloom")
     if not {"file", "min_warc_ts", "max_warc_ts"} <= names:
         return _no_lineage()
+    # ts-filtered planning on a plain live table SEEKS via the sorted
+    # lineage's row-group stats instead of streaming every row (safe
+    # over-approximation: a skipped row group contains only rows the
+    # per-row zone-map test below would reject). Retained/as_of reads
+    # need every attempt row for snapshot bookkeeping → full stream.
+    if ts_range is not None and as_of is None \
+            and not is_retained(out_dir):
+        batches = _iter_lineage_rowgroups(
+            lineage_dir(out_dir), cols, ts_range, seek_stats)
+    else:
+        batches = d.to_batches(columns=cols)
     latest: dict[int, tuple[float, str, bool]] = {}
-    for batch in d.to_batches(columns=cols):
+    for batch in batches:
         n = batch.num_rows
         if n == 0:
             continue

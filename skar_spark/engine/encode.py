@@ -570,7 +570,9 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[str]:
     path = lineage_dir(out_dir)
     tmp, old = path + ".vacuum", path + ".expired"
     shutil.rmtree(tmp, ignore_errors=True)
-    latest.write.mode("overwrite").parquet(tmp)
+    # sorted rewrite: keeps lineage row-group stats seek-able (the
+    # mdbx-range-cursor analog in decode._iter_lineage_rowgroups)
+    latest.sort("min_warc_ts").write.mode("overwrite").parquet(tmp)
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
@@ -761,7 +763,14 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             _encode_kernel_multi(out_dir, cfg, attempt,
                                  _kernel_name_fmt(cfg, attempt, out_dir)),
             FOOTER_DDL)
-        footers.write.mode("append").parquet(lineage_dir(out_dir))
+        # lineage is written SORTED by min_warc_ts (one file per batch):
+        # parquet row-group stats then become a zone-map index over the
+        # index itself, and the local pruner seeks instead of streaming
+        # every row (decode._iter_lineage_rowgroups — the analog of the
+        # reference's keyed mdbx range cursor, db/mod.rs:217-305). The
+        # repartition(1) barrier keeps the kernel stage parallel.
+        (footers.repartition(1).sortWithinPartitions("min_warc_ts")
+         .write.mode("append").parquet(lineage_dir(out_dir)))
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
               f"({len(batch_ids)} parts)", file=sys.stderr)
         ran += 1

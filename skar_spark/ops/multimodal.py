@@ -130,15 +130,66 @@ def decode_image_real(df: DataFrame) -> DataFrame:
 
 
 def q_multimodal_decode(spark, sf_dir: str) -> DataFrame:
-    """Driver query: html binary column treated as an opaque media payload
-    run through the Arrow-batched metadata decoder. Rows-only check (the
-    fake header parse is not SQL-expressible)."""
+    """Driver query: text lifted to an opaque media payload and run
+    through the Arrow-batched metadata decoder. Hash-verified against
+    SQL_MULTIMODAL_DECODE (VERDICT r03 item 4): the fake header parse
+    AND the polynomial fingerprint are both SQL-expressible — bytes via
+    hex(blob) substrings, the mod-2^64 rolling hash via a HUGEINT
+    struct reduce."""
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     payload = d.select("doc_id",
                        F.encode(F.col("text"), "utf-8").alias("payload"))
     out = decode_image_meta(payload)
     return out.orderBy("doc_id")
+
+
+# byte i (1-indexed) of blob `pay`, 0 when past the end — shared by both
+# multimodal oracles
+def _sql_byte(pay: str, i: str) -> str:
+    return (f"CASE WHEN octet_length({pay}) >= {i} THEN "
+            f"CAST(concat('0x', substr(hex({pay}), 2*({i})-1, 2)) AS INT) "
+            f"ELSE 0 END")
+
+
+_SQL_SIGNED64 = ("CAST(CASE WHEN {v} >= 9223372036854775808 "
+                 "THEN {v} - 18446744073709551616 ELSE {v} END AS BIGINT)")
+
+SQL_MULTIMODAL_DECODE = f"""
+WITH p AS (
+  SELECT doc_id, encode(text) AS pay FROM documents
+), hdr AS (
+  SELECT doc_id, pay, octet_length(pay) AS n_bytes,
+         {_sql_byte('pay', '1')} AS b0, {_sql_byte('pay', '2')} AS b1,
+         {_sql_byte('pay', '3')} AS b2, {_sql_byte('pay', '4')} AS b3,
+         {_sql_byte('pay', '5')} AS b4
+  FROM p
+), fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(
+             {{'acc': CAST(0 AS HUGEINT), 'w': CAST(1 AS HUGEINT)}},
+             list_transform(
+               list_transform(range(1, octet_length(pay)+1),
+                 i -> CAST(concat('0x', substr(hex(pay), 2*i-1, 2))
+                           AS INT)),
+               x -> {{'acc': CAST(x AS HUGEINT),
+                      'w': CAST(0 AS HUGEINT)}})),
+           (s, x) -> {{'acc': (s.acc + x.acc * s.w)
+                              % 18446744073709551616,
+                       'w': (s.w * 1099511628211)
+                            % 18446744073709551616}}).acc AS acc
+  FROM p
+)
+SELECT hdr.doc_id AS doc_id,
+       CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(16 + (b0*16 + b1//16) % 4080 AS INT) AS fake_width,
+       CAST(16 + (b2*16 + b3//16) % 4080 AS INT) AS fake_height,
+       CAST(1 + b4 % 4 AS INT) AS fake_channels,
+       {_SQL_SIGNED64.format(v='fp.acc')} AS payload_crc
+FROM hdr JOIN fp USING (doc_id)
+ORDER BY doc_id
+"""
 
 
 RESIZE_DDL = ("doc_id long, out_w int, out_h int, out_c int, "
@@ -305,9 +356,10 @@ def audio_features_stub(df: DataFrame, id_col: str = "doc_id",
 
 
 def q_multimodal_frames(spark, sf_dir: str) -> DataFrame:
-    """Driver query: frame-sampling plumbing over html payloads treated
-    as fixed-frame video streams. Rows-only check (binary offsets are
-    not SQL-expressible)."""
+    """Driver query: frame-sampling plumbing over payloads treated as
+    fixed-frame video streams. Hash-verified against
+    SQL_MULTIMODAL_FRAMES (VERDICT r03 item 4): frame arithmetic is
+    length math and the first-8-bytes-LE fingerprint is hex substrings."""
     from pyspark.sql import functions as F
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # documents has no binary column; lift `text` to bytes the same way
@@ -317,3 +369,33 @@ def q_multimodal_frames(spark, sf_dir: str) -> DataFrame:
     payload = d.select("doc_id", col.alias("payload"))
     return sample_frames_stub(payload, every_n=4).orderBy(
         "doc_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = f"""
+WITH p AS (
+  SELECT doc_id, encode(text) AS pay, octet_length(encode(text)) AS len
+  FROM documents
+), f AS (
+  SELECT doc_id, pay, len,
+         unnest(range(0, ((len + 4095)//4096 + 3)//4)) AS s
+  FROM p
+), g AS (
+  SELECT doc_id, pay, len,
+         CAST(s*4 AS INT) AS frame_idx,
+         CAST(s*4*4096 AS BIGINT) AS frame_off,
+         CAST(least(len - s*4*4096, 4096) AS INT) AS frame_len
+  FROM f
+), fp AS (
+  SELECT *,
+         list_sum(list_transform(range(0, 8),
+           k -> CAST(CASE WHEN k < frame_len
+                     THEN {_sql_byte('pay', 'frame_off + k + 1')}
+                     ELSE 0 END AS HUGEINT)
+                * CAST(CAST(1 AS BIGINT) << (8*k) AS HUGEINT))) AS acc
+  FROM g
+)
+SELECT doc_id, frame_idx, frame_off, frame_len,
+       {_SQL_SIGNED64.format(v='acc')} AS frame_fp
+FROM fp
+ORDER BY doc_id, frame_idx
+"""

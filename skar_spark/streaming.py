@@ -79,6 +79,7 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   parts_per_batch: int = 8,
                   checkpoint_dir: str | None = None,
                   max_files_per_trigger: int = 16,
+                  max_bytes_per_trigger: int | None = None,
                   max_retries: int = 3,
                   backoff_base_sec: float = 0.5):
     """Continuously encode documents landing as parquet in `input_dir`.
@@ -122,13 +123,25 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
 
     # backpressure (T5): maxFilesPerTrigger bounds every micro-batch's
     # input volume — the analog of the reference's bounded ingest channel
-    # (ingest/src/ingest.rs:18, 4-batch mpsc depth)
-    stream = (spark.readStream.schema(DOCS_DDL)
-              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # (ingest/src/ingest.rs:18, 4-batch mpsc depth). maxBytesPerTrigger
+    # additionally bounds it in BYTES (the per-endpoint rate-limit
+    # analog, rpc-client/src/endpoint.rs:191-245): web docs skew in
+    # size, so a file-count bound alone admits arbitrarily heavy
+    # batches. Spark's file source treats it as a soft cap (it always
+    # admits at least one file so progress is guaranteed).
+    reader = (spark.readStream.schema(DOCS_DDL)
               # quarantined poison files are moved out from under an
               # already-planned batch; skip them instead of failing
-              .option("ignoreMissingFiles", "true")
-              .parquet(input_dir))
+              .option("ignoreMissingFiles", "true"))
+    if max_bytes_per_trigger is not None:
+        # Spark's file source rejects both bounds at once — the byte
+        # bound (the tighter statement of intake capacity) wins
+        reader = reader.option("maxBytesPerTrigger",
+                               str(int(max_bytes_per_trigger)))
+    else:
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(input_dir)
 
     def encode_batch(bdf: DataFrame, epoch_id: int) -> None:
         if bdf.isEmpty():
@@ -152,7 +165,10 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                            name_fmt=f"part-e{int(epoch_id)}-{{pid:09d}}"
                                     ".skar"),
             FOOTER_DDL)
-        footers.write.mode("append").parquet(lineage_dir(out_dir))
+        # sorted append: see encode_documents — keeps lineage row-group
+        # stats usable as a seek index over the index
+        (footers.repartition(1).sortWithinPartitions("min_warc_ts")
+         .write.mode("append").parquet(lineage_dir(out_dir)))
 
     def process_batch(bdf: DataFrame, epoch_id: int) -> None:
         attempts = 0

@@ -223,3 +223,38 @@ def test_transient_failure_retried_with_backoff(spark, tmp_path, monkeypatch):
     q.awaitTermination(120)
     assert fails["n"] == 0  # both injected faults were consumed by retries
     assert scan(spark, out).count() == 400
+
+
+def test_max_bytes_per_trigger_bounds_epoch_bytes(spark, tmp_path):
+    """VERDICT r03 item 9 (rate-limit analog, endpoint.rs:191-245):
+    maxBytesPerTrigger bounds each micro-batch's input in BYTES — with
+    6 equal landing files and a budget of ~1.5 files, every epoch
+    admits at most 2 files (soft cap: ≥1 file always admitted)."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from skar_spark.engine.encode import read_lineage
+
+    d = tmp_path / "landing_bytes"
+    d.mkdir()
+    per_file = 200
+    for i in range(6):
+        _pq.write_table(
+            synth_batch(np.arange(i * per_file, (i + 1) * per_file)),
+            str(d / f"f{i}.parquet"))
+    fsize = os.path.getsize(str(d / "f0.parquet"))
+    out = str(tmp_path / "bytes_out")
+    q = stream_encode(spark, str(d), out, CFG, parts_per_batch=2,
+                      max_files_per_trigger=100,   # files don't bound
+                      max_bytes_per_trigger=int(fsize * 1.5))
+    q.awaitTermination(180)
+
+    lin = read_lineage(spark, out)
+    per_epoch = {}
+    for r in lin.select("attempt_id", "row_count").collect():
+        per_epoch[r.attempt_id] = per_epoch.get(r.attempt_id, 0) \
+            + r.row_count
+    assert sum(per_epoch.values()) == 6 * per_file   # nothing lost
+    assert len(per_epoch) >= 3                       # really bounded
+    assert max(per_epoch.values()) <= 2 * per_file   # ≤ 2 files/epoch
