@@ -100,7 +100,11 @@ def main() -> None:
         from pyspark.sql import functions as F
         wdir = args.out + ".warmup"
         _sh.rmtree(wdir, ignore_errors=True)
-        mod = max(2, n_rows // (10_000 * args.cpus))
+        # 30k rows/core (r4: the kernel got ~1.5× faster, so the same
+        # warm ROW count buys less JIT warm-in time — the 4N leg was
+        # still improving at rep 4, 79→55→48→43 s, biasing efficiency
+        # low; more per-core warm work restores equal starting warmth)
+        mod = max(2, n_rows // (30_000 * args.cpus))
         sample = docs.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
         encode_documents(spark, sample, wdir, cfg,
                          num_parts=args.cpus, n_rows=max(n_rows // mod, 1))
