@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
         "engine_query_handler": engine_queries.q_engine_query_handler,
+        "engine_hot_tail": engine_queries.q_engine_hot_tail,
         "engine_lineage": engine_queries.q_engine_lineage,
     }
 
@@ -135,6 +136,9 @@ def oracle_sql() -> dict[str, str]:
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,
         "engine_scan_pruned": engine_queries.SQL_ENGINE_SCAN_PRUNED,
         "engine_query_handler": engine_queries.SQL_ENGINE_QUERY_HANDLER,
+        # hot-tier union hash-verified: committed ∪ uncommitted tail
+        # must equal ALL documents exactly once (r4)
+        "engine_hot_tail": engine_queries.SQL_ENGINE_HOT_TAIL,
         # engine_lineage: engine-internal schema, rows-only by design
     }
 

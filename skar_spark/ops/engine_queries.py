@@ -171,3 +171,52 @@ SQL_ENGINE_SCAN_PRUNED = """
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang
 """
+
+
+def q_engine_hot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-tier union, hash-verified end-to-end (VERDICT r03 item 2 —
+    reference: query/data_provider.rs:56-105 serving the uncommitted
+    in-memory tail next to cold folders): two thirds of the webtext
+    table are encoded + COMMITTED through the normal job; the remaining
+    third is published as a part file whose lineage append has NOT run
+    (the in-progress epoch). A default scan must see only the committed
+    rows; ``include_hot`` must see the union — which the DuckDB oracle
+    checks as (url, md5(text)) over ALL documents."""
+    import pyarrow as pa
+
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.partfile import _derive_host, write_part_file
+
+    out = _out_dir(sf_dir) + "_hot"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=5_000,
+                       max_row_group_size=2_000, salt_threshold_rows=4_000)
+    lifted = webtext_from_documents(spark, sf_dir)
+    # split on the SAME key the oracle can express: trailing doc id in
+    # the url (deterministic; no shared state with the lift internals)
+    doc_id = F.element_at(F.split("url", "/"), -1).cast("long")
+    cold = lifted.filter(F.pmod(doc_id, F.lit(3)) != 2)
+    hot = lifted.filter(F.pmod(doc_id, F.lit(3)) == 2)
+    encode_n = cold.count()
+    from skar_spark.engine.encode import encode_documents
+    encode_documents(spark, cold, out, cfg, n_rows=encode_n)
+
+    # the in-progress epoch: part file atomically published, lineage
+    # row not yet committed
+    t = hot.toArrow()
+    t = t.set_column(
+        t.column_names.index("warc_ts"), "warc_ts",
+        t["warc_ts"].cast(pa.timestamp("us", "UTC")))
+    t = t.append_column("_host", _derive_host(t["url"].combine_chunks()))
+    write_part_file(os.path.join(out, "parts", "part-e99-000999999.skar"),
+                    t, cfg)
+
+    committed_only = scan(spark, out).count()
+    assert committed_only == encode_n  # default read excludes the tail
+    dec = scan(spark, out, include_hot=True)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_HOT_TAIL = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+"""
