@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "cosine_topk": dedup.q_cosine_topk,
         "ann_lsh": dedup.q_ann_lsh,
+        "ann_ivf": dedup.q_ann_ivf,
         # end-to-end dedup decisions (survivor sets, not just pairs)
         "dedup_near": dedup.q_dedup_near,
         "embed_dedup": dedup.q_embed_dedup,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": dedup.sql_ngram_jaccard(),
         "cosine_topk": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
+        "ann_ivf": dedup.sql_ann_ivf(),
         "dedup_near": dedup.sql_dedup_near(),
         "embed_dedup": dedup.sql_embed_dedup(),
         # engine path: the decoded output is projected to SQL-expressible

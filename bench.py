@@ -157,7 +157,7 @@ def main() -> None:
         "left_join", "sessionize", "json_extract",
         "dedup_exact", "token_count", "quality_score", "doc_fingerprint",
         "minhash", "simhash", "lsh_pairs", "ngram_jaccard",
-        "cosine_topk", "ann_lsh", "dedup_near", "embed_dedup",
+        "cosine_topk", "ann_lsh", "ann_ivf", "dedup_near", "embed_dedup",
     ]
     # untimed warm-up: parquet reader + HOF codegen paths otherwise land
     # entirely in whichever query runs first

@@ -685,3 +685,184 @@ SELECT DISTINCT a, b, cos FROM (
     ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id) t
 WHERE cos >= {_ANN_MIN_COS}
 """
+
+
+# --- ANN via IVF (inverted-file lists — the second similarity scale path) -----
+#
+# Complements q_ann_lsh with the other classic ANN family: a coarse
+# quantizer partitions vectors into n_lists inverted lists (assignment =
+# argmax cosine against the centroid set), and a query scores ONLY the
+# vectors in its _IVF_NPROBE nearest lists. Candidate volume per query is
+# nprobe · n / n_lists instead of n — with n_lists ≈ √n the lists stay
+# ~√n rows, so total query work is O(q · nprobe · √n).
+#
+# Kept deterministic + oracle-exact (no k-means training, which has no
+# SQL mirror): centroids are the vectors whose id ≡ 0 (mod n//n_lists),
+# first n_lists by id — a fixed subsample quantizer. Every dot product
+# that decides an ARGMAX/rank accumulates fold-left over the 64 dims in
+# BOTH engines (the ann_lsh sign-parity trick): numpy loops the dims
+# sequentially, Spark uses aggregate() (left fold), DuckDB list_sum —
+# bitwise-identical doubles, so knife-edge assignment ties cannot
+# disagree. At 10^12 rows the centroid set is metadata-sized (≤ _IVF_MAX
+# lists × 64 doubles broadcast), assignment is one vectorized pass, and
+# no stage materializes more than nprobe lists per query.
+
+_IVF_NPROBE = 4
+_IVF_MAX_LISTS = 1024
+_IVF_TOPK = 10
+_IVF_N_QUERIES = 8
+
+
+def ivf_n_lists(n: int) -> int:
+    import math
+    return min(_IVF_MAX_LISTS, max(8, math.isqrt(max(n, 1))))
+
+
+def _ivf_params(sf: str, spark=None):
+    import pyarrow.parquet as pq
+    try:
+        n = pq.ParquetFile(f"{sf}/embeddings.parquet").metadata.num_rows
+    except (OSError, IsADirectoryError):
+        n = load(spark, sf, "embeddings").count()
+    k = ivf_n_lists(n)
+    return n, k, max(1, n // k)
+
+
+def q_ann_ivf(spark, sf):
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import Window
+
+    n, k, m = _ivf_params(sf, spark)
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+
+    # centroid set: metadata-sized, collected once and broadcast into
+    # the assignment kernel (k ≤ _IVF_MAX_LISTS rows of 64 doubles)
+    cents = (base.filter(F.pmod(F.col("vec_id"), F.lit(m)) == 0)
+             .orderBy("vec_id").limit(k))
+    crows = cents.collect()
+    C = np.array([r.v for r in crows], np.float64)          # (k, 64)
+    cids = np.array([r.vec_id for r in crows], np.int64)
+    cnorm = np.empty(len(C), np.float64)
+    for j in range(len(C)):  # per CENTROID (metadata-size loop)
+        acc = 0.0
+        for i in range(_DIM):   # fold-left: parity with sqrt(list_sum)
+            acc += C[j, i] * C[j, i]
+        cnorm[j] = np.sqrt(acc)
+
+    def assign_kernel(batches):
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            flat = batch.column("v").flatten().to_numpy(
+                zero_copy_only=False)
+            V = flat.reshape(nb, _DIM)
+            vnorm = np.zeros(nb, np.float64)
+            for i in range(_DIM):  # fold-left over dims (see header)
+                vnorm += V[:, i] * V[:, i]
+            vnorm = np.sqrt(vnorm)
+            best = np.full(nb, -np.inf)
+            bestc = np.zeros(nb, np.int64)
+            for j in range(len(C)):    # per CENTROID (metadata-size loop)
+                acc = np.zeros(nb, np.float64)
+                for i in range(_DIM):
+                    acc += V[:, i] * C[j, i]
+                cos = acc / (vnorm * cnorm[j])
+                upd = cos > best       # strict: ties keep smaller cid
+                best[upd] = cos[upd]
+                bestc[upd] = cids[j]
+            yield pa.record_batch({
+                "vec_id": batch.column("vec_id"),
+                "v": batch.column("v"),
+                "cid": pa.array(bestc, pa.int64()),
+            })
+
+    assigned = _spread(spark, base).mapInArrow(
+        assign_kernel, schema="vec_id long, v array<double>, cid long")
+
+    # per-query probe lists: rank centroids by fold-left cosine (Spark
+    # aggregate == DuckDB list_sum == the kernel's loop), nprobe kept
+    cdf = spark.createDataFrame(
+        [(int(c), [float(x) for x in C[j]]) for j, c in enumerate(cids)],
+        "cid long, cv array<double>")
+    q = (base.filter(F.col("vec_id") < _IVF_N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    qc = (q.crossJoin(F.broadcast(cdf))
+          .withColumn("ccos", dotc / (nrm(F.col("qv")) * nrm(F.col("cv")))))
+    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(),
+                                           F.col("cid").asc())
+    probes = (qc.withColumn("pr", F.row_number().over(wq))
+              .filter(F.col("pr") <= _IVF_NPROBE).select("qid", "qv", "cid"))
+
+    # score ONLY the probed lists; exact cosine, top-k per query
+    cand = probes.join(assigned, "cid").filter(F.col("qid") != F.col("vec_id"))
+    dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    scored = cand.withColumn("cos", F.round(
+        dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _IVF_TOPK)
+            .select("qid", "rk", "vec_id", "cos"))
+
+
+def sql_ann_ivf(n: int | None = None) -> str:
+    """DuckDB oracle for q_ann_ivf: identical quantizer, fold-left dot
+    products, tie rules, and probe/top-k windows."""
+    if n is None:
+        import pyarrow.parquet as pq
+        n = pq.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    k = ivf_n_lists(n)
+    m = max(1, n // k)
+    dot = (f"list_sum(list_transform(range(1, {_DIM} + 1), "
+           f"i -> {{l}}[i] * {{r}}[i]))")
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM base
+  WHERE vec_id % {m} = 0 ORDER BY vec_id LIMIT {k}),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT b.vec_id, b.v, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {dot.format(l='b.v', r='c.cv')}
+                      / ({nrm.format(v='b.v')} * {nrm.format(v='c.cv')})
+                      DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cents c) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM base
+      WHERE vec_id < {_IVF_N_QUERIES}),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {dot.format(l='q.qv', r='c.cv')}
+                      / ({nrm.format(v='q.qv')} * {nrm.format(v='c.cv')})
+                      DESC, c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c) t WHERE pr <= {_IVF_NPROBE})
+SELECT qid, rk, vec_id, cos FROM (
+  SELECT p.qid, a.vec_id,
+         round({dot.format(l='p.qv', r='a.v')}
+               / ({nrm.format(v='p.qv')} * {nrm.format(v='a.v')}), 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY round({dot.format(l='p.qv', r='a.v')}
+                    / ({nrm.format(v='p.qv')} * {nrm.format(v='a.v')}), 4)
+                    DESC, a.vec_id ASC) AS rk
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id != p.qid) t
+WHERE rk <= {_IVF_TOPK}
+"""

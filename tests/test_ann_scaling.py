@@ -249,3 +249,53 @@ def test_cosine_brute_guard(spark, monkeypatch):
         D.q_cosine_topk(spark, "/root/testdata/sf0.001")
     monkeypatch.setenv("SKAR_ALLOW_BRUTE", "1")
     assert D.q_cosine_topk(spark, "/root/testdata/sf0.001").count() > 0
+
+
+def test_ivf_finds_planted_neardups(spark, planted):
+    """IVF nprobe search must place a planted near-duplicate (cos≈0.99)
+    at rank 1 for every query vector that has one: directionally-close
+    vectors land in the same (or a probed) inverted list."""
+    from skar_spark.ops.dedup import _IVF_N_QUERIES, q_ann_ivf
+
+    sf_dir, pairs, _ = planted
+    res = q_ann_ivf(spark, sf_dir).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r.qid, []).append((r.rk, r.vec_id, r.cos))
+    # queries 0.._IVF_N_QUERIES-1 are base vectors with planted dup
+    # 200+qid; require the dup found at rank 1 for >= 6 of 8 queries
+    hits = 0
+    for qid in range(_IVF_N_QUERIES):
+        ranked = sorted(by_q.get(qid, []))
+        if ranked and ranked[0][1] == 200 + qid:
+            hits += 1
+    assert hits >= 6, {q: by_q.get(q, [])[:2]
+                       for q in range(_IVF_N_QUERIES)}
+
+
+def test_ivf_lists_scale_with_n():
+    from skar_spark.ops.dedup import _IVF_MAX_LISTS, ivf_n_lists
+
+    assert ivf_n_lists(100) >= 8
+    assert ivf_n_lists(10_000) == 100       # lists ≈ √n → ~√n rows/list
+    assert ivf_n_lists(1_000_000) == 1000
+    assert ivf_n_lists(10**12) == _IVF_MAX_LISTS  # capped metadata size
+
+
+def test_ivf_candidates_subquadratic(spark, planted):
+    """The scored candidate set must be a small fraction of n per query
+    (nprobe lists of ~n/n_lists rows), never a full scan."""
+    from skar_spark.ops.dedup import (
+        _IVF_N_QUERIES,
+        _IVF_NPROBE,
+        ivf_n_lists,
+        q_ann_ivf,
+    )
+
+    sf_dir, _, _ = planted
+    n = 300
+    # structural bound: nprobe/n_lists of the corpus per query (×4 slack
+    # for uneven lists on this tiny n)
+    bound = _IVF_N_QUERIES * max(
+        64, 4 * _IVF_NPROBE * n // ivf_n_lists(n))
+    assert q_ann_ivf(spark, sf_dir).count() <= bound
