@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
         "engine_query_handler": engine_queries.q_engine_query_handler,
         "engine_hot_tail": engine_queries.q_engine_hot_tail,
+        "engine_day_hash": engine_queries.q_engine_day_hash,
         "engine_lineage": engine_queries.q_engine_lineage,
     }
 
@@ -141,6 +142,8 @@ def oracle_sql() -> dict[str, str]:
         # hot-tier union hash-verified: committed ∪ uncommitted tail
         # must equal ALL documents exactly once (r4)
         "engine_hot_tail": engine_queries.SQL_ENGINE_HOT_TAIL,
+        # range×hash layout + partition-level ts pruning, hash-verified
+        "engine_day_hash": engine_queries.SQL_ENGINE_DAY_HASH,
         # engine_lineage: engine-internal schema, rows-only by design
     }
 

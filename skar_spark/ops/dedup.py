@@ -317,6 +317,12 @@ WHERE jaccard >= {_NGJ_THRESHOLD}
 # anti-join on the dominated-id set (near-dup sets are tiny vs corpus).
 
 def q_dedup_near(spark, sf):
+    # NOTE (independent-query semantics): this decision op re-runs its
+    # candidate generator (q_ngram_jaccard) because each queries() entry
+    # must be self-contained for the driver. A production pipeline would
+    # stage the verified candidate pairs once (parquet/cache) and derive
+    # both the pair report and the survivor set from that staging table
+    # — the same staging pattern ann_lsh applies to its bucketed table.
     pairs = q_ngram_jaccard(spark, sf)  # (a, b, jaccard ≥ τ), a < b
     dominated = pairs.select(F.col("b").alias("doc_id")).distinct()
     d = load(spark, sf, "documents").select("doc_id")
@@ -626,6 +632,9 @@ _EMBED_DEDUP_COS = 0.90
 
 
 def q_embed_dedup(spark, sf):
+    # NOTE: re-runs q_ann_lsh for self-containment (driver contract);
+    # in a pipeline the ann candidate pairs would be staged once and
+    # shared — see q_dedup_near's note.
     pairs = q_ann_lsh(spark, sf).filter(F.col("cos") >= _EMBED_DEDUP_COS)
     dominated = pairs.select(F.col("b").alias("vec_id")).distinct()
     e = load(spark, sf, "embeddings").select("vec_id")

@@ -220,3 +220,55 @@ def q_engine_hot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENGINE_HOT_TAIL = f"""
 SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 """
+
+
+def q_engine_day_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range×hash layout end-to-end, hash-verified: webtext lifted
+    with one document per HOUR (so the corpus spans weeks), encoded
+    under ``scheme="day_hash"`` (partition = day(warc_ts) × host
+    bucket — the Iceberg days×bucket layout, mirror of the reference's
+    block-range folders), then a ts-window scan that must (a) prune
+    whole partitions via the lineage zone maps and (b) return exactly
+    the window's documents — checked by the DuckDB oracle via the
+    equivalent doc_id arithmetic."""
+    from skar_spark.engine.decode import prune_partitions, scan
+    from skar_spark.engine.encode import encode_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lifted = d.select(
+        F.concat(F.lit("https://docs-"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".local/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("doc_id").cast("int"))
+         ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"), F.col("lang"))
+
+    out = _out_dir(sf_dir) + "_dayhash"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=64, max_row_group_size=64,
+                       salt_threshold_rows=64)
+    encode_documents(spark, lifted, out, cfg, scheme="day_hash",
+                     n_rows=lifted.count())
+
+    # window = hours [72, 240) → days 4..10 of the corpus
+    import datetime as _dt
+
+    def us(s):
+        return int(_dt.datetime.fromisoformat(s + "+00:00").timestamp()
+                   * 1_000_000)
+    lo, hi = us("2024-01-04T00:00:00"), us("2024-01-11T00:00:00")
+    pruned = prune_partitions(spark, out, ts_range=(lo, hi))
+    total = prune_partitions(spark, out)
+    # the layout must actually prune: the window covers ~1/3 of the days
+    assert 0 < len(pruned) < len(total), (len(pruned), len(total))
+    dec = scan(spark, out, ts_range=(lo, hi))
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_DAY_HASH = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+WHERE doc_id >= 72 AND doc_id < 240
+"""
