@@ -29,7 +29,11 @@ from-scratch Python-vectorized design, not a port):
   loop, recovered here with numpy whole-buffer passes. Output bytes may
   differ slightly from a sequential per-symbol replace (overlap ties
   resolve differently) but decode is exact either way: expansion in
-  reverse learned order is position-independent.
+  reverse learned order is position-independent. Routing is hybrid
+  (measured crossovers, NUMPY_LEVEL_MIN_*): symbol-light levels run as
+  sequential C ``bytes.replace`` passes, and when EVERY level is light
+  the whole chain runs as a per-row Arrow ``replace_substring`` chain
+  (fsst_compress_rows) — whichever is cheapest for the learned table.
 
 The whole column chunk's concatenated data buffer is compressed as one
 stream; original string offsets are stored delta+bitpacked, so decode
