@@ -356,6 +356,17 @@ def prune_partitions_local(out_dir: str,
     # over-approximation: a skipped row group contains only rows the
     # per-row zone-map test below would reject). Retained/as_of reads
     # need every attempt row for snapshot bookkeeping → full stream.
+    #
+    # INVARIANT the seek path depends on (ADVICE r04): on a
+    # non-retained table every attempt for a pid writes the SAME
+    # canonical file name (`part-{pid:06d}.skar`, _kernel_name_fmt), so
+    # when the true-latest attempt row sits in a skipped row group but
+    # an older attempt row survives, `latest` resolving from the
+    # superseded row re-admits a file name identical to the latest
+    # attempt's — an exact-filtered over-read, never a double-read.
+    # If per-attempt file naming is ever extended to non-retained
+    # tables, this branch must exclude pids whose resolved row is not
+    # the true latest (or fall back to the full stream).
     if ts_range is not None and as_of is None \
             and not is_retained(out_dir):
         batches = _iter_lineage_rowgroups(

@@ -395,22 +395,49 @@ def recover_lineage_swap(out_dir: str) -> None:
     The swap is two renames; if a crash lands between them the lineage
     directory is missing while both the fully-written new copy (tmp) and
     the pre-swap copy (old) still exist. Readers call this before
-    opening lineage: roll FORWARD to tmp when both siblings exist (tmp
-    was completely written and closed before the first rename — it is
-    the committed new view), or back to old if only old survives
-    (defensive; the protocol can't actually leave that state). No-op
-    when the lineage directory is present or no sibling exists."""
+    opening lineage.
+
+    Recovery order (ADVICE r04 — a fixed per-pair scan could mistake a
+    STALE old dir left by one op's post-swap crash for the rollback
+    source of a DIFFERENT op's mid-swap crash, resurrecting superseded
+    lineage over the fully-written new copy):
+
+    1. lineage present → the last swap committed; surviving OLD dirs
+       are orphans from a crash after the second rename but before
+       cleanup — remove them so a later recovery can't roll back to
+       them. Tmp dirs are left alone (a live vacuum/compact may be
+       between writing its tmp and the first rename).
+    2. no lineage, some pair has tmp AND old → that op crashed
+       mid-swap; roll FORWARD to its tmp (completely written and closed
+       before the first rename — the committed new view) and drop every
+       old dir of either pair.
+    3. no lineage, a tmp alone → roll forward (defensive; the protocol
+       can't leave this state).
+    4. no lineage, an old alone → roll back (defensive, likewise)."""
     import shutil
 
     path = lineage_dir(out_dir)
     if os.path.isdir(path):
+        for _tmp_sfx, old_sfx in _SWAP_SUFFIXES:
+            if os.path.isdir(path + old_sfx):
+                shutil.rmtree(path + old_sfx, ignore_errors=True)
         return
     for tmp_sfx, old_sfx in _SWAP_SUFFIXES:
         tmp, old = path + tmp_sfx, path + old_sfx
         if os.path.isdir(tmp) and os.path.isdir(old):
             os.rename(tmp, path)
-            shutil.rmtree(old, ignore_errors=True)
+            for _t, o_sfx in _SWAP_SUFFIXES:
+                shutil.rmtree(path + o_sfx, ignore_errors=True)
             return
+    for tmp_sfx, _old_sfx in _SWAP_SUFFIXES:
+        tmp = path + tmp_sfx
+        if os.path.isdir(tmp):
+            os.rename(tmp, path)
+            for _t, o_sfx in _SWAP_SUFFIXES:
+                shutil.rmtree(path + o_sfx, ignore_errors=True)
+            return
+    for _tmp_sfx, old_sfx in _SWAP_SUFFIXES:
+        old = path + old_sfx
         if os.path.isdir(old):
             os.rename(old, path)
             return

@@ -434,19 +434,47 @@ _ANN_BUCKET_CAP = 512
 _ANN_STAGE_MIN_ROWS = 200_000
 
 
-def _cleanup_stale_stages(stage_root: str, keep: str) -> None:
-    """Remove previous ann_lsh stage dirs under `stage_root` (keyed by
-    (sf, n, planes) — a re-run with the same inputs reuses nothing, so
-    older stages are dead weight; bounded to ONE live stage dir)."""
+# a foreign stage dir younger than this may belong to a live concurrent
+# job between its write and read — never reclaim it (ADVICE r04)
+_STAGE_MAX_AGE_SEC = 3600.0
+
+
+def _cleanup_stale_stages(stage_root: str, keep: str,
+                          app_prefix: str | None = None) -> None:
+    """Reclaim dead ann_lsh stage dirs under `stage_root`.
+
+    Stage dirs are namespaced ``skar_ann_stage_{applicationId}_{tag}``
+    so concurrent Spark jobs can never collide on a name. Reclaim rules
+    (ADVICE r04 — a blanket sweep could rmtree a concurrent job's live
+    staged parquet between its write and read):
+
+    - our own application's dirs (``app_prefix``) other than ``keep``
+      are reclaimed immediately — queries within one app are serial,
+      so any sibling is a dead earlier stage;
+    - a FOREIGN application's dir is reclaimed only when its mtime is
+      older than ``_STAGE_MAX_AGE_SEC`` (crashed app's leftovers);
+      younger foreign dirs are presumed live and left alone.
+    """
     import shutil
+    import time
 
     if "://" in stage_root:
         return  # object-store roots manage lifecycle via bucket policy
+    now = time.time()
     try:
         for name in os.listdir(stage_root):
-            if name.startswith("skar_ann_stage_") and name != keep:
-                shutil.rmtree(os.path.join(stage_root, name),
-                              ignore_errors=True)
+            if not name.startswith("skar_ann_stage_") or name == keep:
+                continue
+            path = os.path.join(stage_root, name)
+            if app_prefix is not None and name.startswith(app_prefix):
+                shutil.rmtree(path, ignore_errors=True)
+                continue
+            try:
+                age = now - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished under us — another job's cleanup
+            if age >= _STAGE_MAX_AGE_SEC:
+                shutil.rmtree(path, ignore_errors=True)
     except OSError:
         pass
 
@@ -587,8 +615,16 @@ def q_ann_lsh(spark, sf):
         # local parquet-footer reads)
         tag = hashlib.md5(f"{sf}|{n}|{planes}".encode()).hexdigest()[:10]
         stage_root = os.environ.get("SKAR_STAGE_DIR", "/tmp")
-        stage_dir = f"{stage_root}/skar_ann_stage_{tag}"
-        _cleanup_stale_stages(stage_root, keep=f"skar_ann_stage_{tag}")
+        # applicationId namespace: concurrent Spark jobs with different
+        # (sf, n, planes) share the stage root without name collisions,
+        # and cleanup can tell our dead stages from a neighbor's live
+        # one (ADVICE r04)
+        app = spark.sparkContext.applicationId
+        app_prefix = f"skar_ann_stage_{app}_"
+        stage_name = f"{app_prefix}{tag}"
+        stage_dir = f"{stage_root}/{stage_name}"
+        _cleanup_stale_stages(stage_root, keep=stage_name,
+                              app_prefix=app_prefix)
         capped_lazy.write.mode("overwrite").parquet(stage_dir)
         capped = spark.read.parquet(stage_dir)
 
@@ -702,8 +738,16 @@ WHERE cos >= {_ANN_MIN_COS}
 # quantizer partitions vectors into n_lists inverted lists (assignment =
 # argmax cosine against the centroid set), and a query scores ONLY the
 # vectors in its _IVF_NPROBE nearest lists. Candidate volume per query is
-# nprobe · n / n_lists instead of n — with n_lists ≈ √n the lists stay
-# ~√n rows, so total query work is O(q · nprobe · √n).
+# nprobe · n / n_lists instead of n — with n_lists = √n (UNCAPPED,
+# VERDICT r04 item 3) the lists stay ~√n rows at ANY corpus size, so
+# total query work is O(q · nprobe · √n).
+#
+# Above _IVF_MAX_LISTS fine lists the flat argmax would cost O(k·d) per
+# row, so the quantizer goes TWO-LEVEL: k1 = √k coarse centroids (a
+# stride subsample OF the fine centroid set, so every coarse cell holds
+# at least its own fine centroid) route each vector to a cell, and the
+# fine argmax runs only over that cell's ~√k fine centroids — assignment
+# cost O(√k·d) per row, probing O(k1 + nprobe1·√k) per query.
 #
 # Kept deterministic + oracle-exact (no k-means training, which has no
 # SQL mirror): centroids are the vectors whose id ≡ 0 (mod n//n_lists),
@@ -712,19 +756,34 @@ WHERE cos >= {_ANN_MIN_COS}
 # BOTH engines (the ann_lsh sign-parity trick): numpy loops the dims
 # sequentially, Spark uses aggregate() (left fold), DuckDB list_sum —
 # bitwise-identical doubles, so knife-edge assignment ties cannot
-# disagree. At 10^12 rows the centroid set is metadata-sized (≤ _IVF_MAX
-# lists × 64 doubles broadcast), assignment is one vectorized pass, and
-# no stage materializes more than nprobe lists per query.
+# disagree. SKAR_IVF_MATMUL=1 switches the kernels to one BLAS matmul
+# per batch (engine mode, ~d× faster) — same tie rule (first maximum =
+# smallest cid) but pairwise-summed dots, so it is NOT for oracle-parity
+# runs; use it when the consumer is the pipeline, not the driver gate.
+#
+# At 10^12 rows: n_lists = 10^6 fine centroids is ~0.5 GB of doubles —
+# still driver-feasible but past broadcast-comfort; the two-level split
+# means the ASSIGNMENT kernel only ever receives the coarse set (k1 =
+# 10^3, metadata-sized) plus one cell's fine members per routed batch.
+# The current implementation collects the fine set on the driver (fine
+# up to ~10^7 lists / 10^14 rows); beyond that the fine table should be
+# joined executor-side by cell id instead — documented seam, same shape
+# as the ann stage-root note above.
 
 _IVF_NPROBE = 4
-_IVF_MAX_LISTS = 1024
+_IVF_NPROBE1 = 4        # coarse cells probed in two-level mode
+_IVF_MAX_LISTS = 1024   # flat-mode ceiling; above → two-level quantizer
 _IVF_TOPK = 10
 _IVF_N_QUERIES = 8
 
 
 def ivf_n_lists(n: int) -> int:
+    """√n fine lists, uncapped: list size stays O(√n) at any corpus
+    size. _IVF_MAX_LISTS no longer truncates the list count (which made
+    lists grow linearly beyond n ≈ 10^6, VERDICT r04) — it now selects
+    the two-level quantizer instead."""
     import math
-    return min(_IVF_MAX_LISTS, max(8, math.isqrt(max(n, 1))))
+    return max(8, math.isqrt(max(n, 1)))
 
 
 def _ivf_params(sf: str, spark=None):
@@ -737,29 +796,112 @@ def _ivf_params(sf: str, spark=None):
     return n, k, max(1, n // k)
 
 
-def q_ann_ivf(spark, sf):
+def _ivf_matmul() -> bool:
+    return bool(os.environ.get("SKAR_IVF_MATMUL"))
+
+
+def _fold_norms(M):
+    """Row L2 norms accumulated fold-left over dims (oracle parity)."""
     import numpy as np
-    import pyarrow as pa
-    from pyspark.sql import Window
+    acc = np.zeros(len(M), np.float64)
+    for i in range(_DIM):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _argmax_cos(V, vnorm, C, cids, cnorm, matmul: bool):
+    """argmax_j cos(V[r], C[j]) per row r with the shared tie/degenerate
+    rules: ties → smaller cid (`cids` must be ascending), zero-norm rows
+    → cids[0] (ADVICE r04: DuckDB's x/0 → NULL sorts last under DESC, so
+    its argmax falls through to the smallest cid), zero-norm centroids
+    never win. Fold-left dim accumulation for bit-parity with the SQL
+    oracle unless `matmul` (engine mode: one BLAS call, pairwise sums).
+
+    Returns (best_index_into_C, best_cid) arrays."""
+    import numpy as np
+
+    nb = len(V)
+    zero = vnorm == 0.0
+    vs = np.where(zero, 1.0, vnorm)
+    ok = cnorm != 0.0
+    if matmul:
+        if not ok.any():
+            z = np.zeros(nb, np.int64)
+            return z, np.full(nb, cids[0], np.int64)
+        cos = (V @ C[ok].T) / (vs[:, None] * cnorm[ok][None, :])
+        # first maximum = smallest surviving index = smallest cid
+        sel = np.flatnonzero(ok)[np.argmax(cos, axis=1)]
+        besti = np.where(zero, 0, sel)
+        bestc = np.where(zero, cids[0], cids[sel])
+        return besti.astype(np.int64), bestc.astype(np.int64)
+    best = np.full(nb, -np.inf)
+    besti = np.zeros(nb, np.int64)
+    bestc = np.full(nb, cids[0], np.int64)
+    for j in range(len(C)):        # per CENTROID (metadata-size loop)
+        if not ok[j]:
+            continue
+        acc = np.zeros(nb, np.float64)
+        for i in range(_DIM):      # fold-left over dims (see header)
+            acc += V[:, i] * C[j, i]
+        cos = acc / (vs * cnorm[j])
+        upd = cos > best           # strict: ties keep smaller cid
+        best[upd] = cos[upd]
+        besti[upd] = j
+        bestc[upd] = cids[j]
+    besti[zero] = 0
+    bestc[zero] = cids[0]
+    return besti, bestc
+
+
+def ivf_quantizer(spark, sf):
+    """Build the (possibly two-level) IVF quantizer. Returns a dict:
+    n, k, m, C (k×64 float64, cid-ascending), cids, cnorm, and — only
+    when k > _IVF_MAX_LISTS — coarse = (C1, c1norm, cells) where
+    `cells[j]` is the coarse cell of fine centroid j."""
+    import math
+
+    import numpy as np
 
     n, k, m = _ivf_params(sf, spark)
     e = load(spark, sf, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = e.select("vec_id", dbl.alias("v"))
-
-    # centroid set: metadata-sized, collected once and broadcast into
-    # the assignment kernel (k ≤ _IVF_MAX_LISTS rows of 64 doubles)
     cents = (base.filter(F.pmod(F.col("vec_id"), F.lit(m)) == 0)
              .orderBy("vec_id").limit(k))
     crows = cents.collect()
     C = np.array([r.v for r in crows], np.float64)          # (k, 64)
     cids = np.array([r.vec_id for r in crows], np.int64)
-    cnorm = np.empty(len(C), np.float64)
-    for j in range(len(C)):  # per CENTROID (metadata-size loop)
-        acc = 0.0
-        for i in range(_DIM):   # fold-left: parity with sqrt(list_sum)
-            acc += C[j, i] * C[j, i]
-        cnorm[j] = np.sqrt(acc)
+    cnorm = _fold_norms(C)
+    q = {"n": n, "k": k, "m": m, "base": base,
+         "C": C, "cids": cids, "cnorm": cnorm, "coarse": None}
+    if len(C) > _IVF_MAX_LISTS:
+        k1 = max(8, math.isqrt(len(C)))
+        step = max(1, len(C) // k1)
+        sel = np.arange(0, len(C), step)[:k1]
+        C1, c1norm = C[sel], cnorm[sel]
+        # route each fine centroid to its coarse cell (coarse ids are
+        # cell indices 0..k1-1 — ascending, so the shared tie rule
+        # "smaller id" means "smaller cell index"). Fold-left: this map
+        # is part of the deterministic quantizer definition.
+        cells, _ = _argmax_cos(C, cnorm, C1, np.arange(len(sel)),
+                               c1norm, matmul=False)
+        q["coarse"] = (C1, c1norm, cells)
+    return q
+
+
+def ivf_assign(spark, sf, quant=None):
+    """Assign every vector to its inverted list. Returns (quant,
+    assigned_df) with assigned = (vec_id, v, cid). Flat mode: one argmax
+    over all k fine centroids. Two-level mode (k > _IVF_MAX_LISTS):
+    coarse argmax routes to a cell, fine argmax runs only over that
+    cell's members — O(√k·d) per row instead of O(k·d)."""
+    import numpy as np
+    import pyarrow as pa
+
+    quant = quant or ivf_quantizer(spark, sf)
+    C, cids, cnorm = quant["C"], quant["cids"], quant["cnorm"]
+    coarse = quant["coarse"]
+    matmul = _ivf_matmul()
 
     def assign_kernel(batches):
         for batch in batches:
@@ -769,53 +911,94 @@ def q_ann_ivf(spark, sf):
             flat = batch.column("v").flatten().to_numpy(
                 zero_copy_only=False)
             V = flat.reshape(nb, _DIM)
-            vnorm = np.zeros(nb, np.float64)
-            for i in range(_DIM):  # fold-left over dims (see header)
-                vnorm += V[:, i] * V[:, i]
-            vnorm = np.sqrt(vnorm)
-            best = np.full(nb, -np.inf)
-            bestc = np.zeros(nb, np.int64)
-            for j in range(len(C)):    # per CENTROID (metadata-size loop)
-                acc = np.zeros(nb, np.float64)
-                for i in range(_DIM):
-                    acc += V[:, i] * C[j, i]
-                cos = acc / (vnorm * cnorm[j])
-                upd = cos > best       # strict: ties keep smaller cid
-                best[upd] = cos[upd]
-                bestc[upd] = cids[j]
+            vnorm = _fold_norms(V)
+            if coarse is None:
+                _, bestc = _argmax_cos(V, vnorm, C, cids, cnorm, matmul)
+            else:
+                C1, c1norm, cells = coarse
+                cell_of_row, _ = _argmax_cos(
+                    V, vnorm, C1, np.arange(len(C1)), c1norm, matmul)
+                bestc = np.full(nb, cids[0], np.int64)
+                for cell in np.unique(cell_of_row):
+                    rows = cell_of_row == cell
+                    members = cells == cell
+                    if not members.any():
+                        continue   # defensive: empty cell → cids[0]
+                    _, bc = _argmax_cos(
+                        V[rows], vnorm[rows], C[members], cids[members],
+                        cnorm[members], matmul)
+                    bestc[rows] = bc
             yield pa.record_batch({
                 "vec_id": batch.column("vec_id"),
                 "v": batch.column("v"),
                 "cid": pa.array(bestc, pa.int64()),
             })
 
-    assigned = _spread(spark, base).mapInArrow(
+    assigned = _spread(spark, quant["base"]).mapInArrow(
         assign_kernel, schema="vec_id long, v array<double>, cid long")
+    return quant, assigned
 
-    # per-query probe lists: rank centroids by fold-left cosine (Spark
-    # aggregate == DuckDB list_sum == the kernel's loop), nprobe kept
-    cdf = spark.createDataFrame(
-        [(int(c), [float(x) for x in C[j]]) for j, c in enumerate(cids)],
-        "cid long, cv array<double>")
+
+def q_ann_ivf(spark, sf):
+    from pyspark.sql import Window
+
+    quant, assigned = ivf_assign(spark, sf)
+    base = quant["base"]
+    C, cids = quant["C"], quant["cids"]
+
     q = (base.filter(F.col("vec_id") < _IVF_N_QUERIES)
          .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
-    dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    qc = (q.crossJoin(F.broadcast(cdf))
-          .withColumn("ccos", dotc / (nrm(F.col("qv")) * nrm(F.col("cv")))))
-    wq = Window.partitionBy("qid").orderBy(F.col("ccos").desc(),
-                                           F.col("cid").asc())
-    probes = (qc.withColumn("pr", F.row_number().over(wq))
-              .filter(F.col("pr") <= _IVF_NPROBE).select("qid", "qv", "cid"))
+
+    def _rank_probe(qdf, cdf, id_col, keep, extra_part=None):
+        """Rank centroids per query by fold-left cosine (Spark
+        aggregate == DuckDB list_sum == the kernel's loop); zero-norm
+        guard (ADVICE r04): DuckDB maps x/0 to NULL (sorts last under
+        DESC); Spark would produce NaN (sorts FIRST under desc) — emit
+        NULL explicitly so both engines rank zero vectors last."""
+        dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+        den = nrm(F.col("qv")) * nrm(F.col("cv"))
+        if extra_part:
+            ranked = qdf.join(F.broadcast(cdf), extra_part)
+        else:
+            ranked = qdf.crossJoin(F.broadcast(cdf))
+        ranked = ranked.withColumn("ccos", F.when(den != 0.0, dotc / den))
+        wq = Window.partitionBy("qid").orderBy(
+            F.col("ccos").desc(), F.col(id_col).asc())
+        return (ranked.withColumn("pr", F.row_number().over(wq))
+                .filter(F.col("pr") <= keep)
+                .select("qid", "qv", id_col))
+
+    if quant["coarse"] is None:
+        cdf = spark.createDataFrame(
+            [(int(c), [float(x) for x in C[j]])
+             for j, c in enumerate(cids)],
+            "cid long, cv array<double>")
+        probes = _rank_probe(q, cdf, "cid", _IVF_NPROBE)
+    else:
+        C1, _c1norm, cells = quant["coarse"]
+        cdf1 = spark.createDataFrame(
+            [(int(j), [float(x) for x in C1[j]])
+             for j in range(len(C1))],  # per coarse CENTROID (metadata)
+            "cell long, cv array<double>")
+        cells_probed = _rank_probe(q, cdf1, "cell", _IVF_NPROBE1)
+        # fine centroids of the probed cells only: O(nprobe1·√k) rows
+        fdf = spark.createDataFrame(
+            [(int(cids[j]), int(cells[j]), [float(x) for x in C[j]])
+             for j in range(len(C))],   # per fine CENTROID (metadata)
+            "cid long, cell long, cv array<double>")
+        probes = _rank_probe(cells_probed, fdf, "cid", _IVF_NPROBE,
+                             extra_part=["cell"])
 
     # score ONLY the probed lists; exact cosine, top-k per query
     cand = probes.join(assigned, "cid").filter(F.col("qid") != F.col("vec_id"))
     dot = F.aggregate(F.zip_with("qv", "v", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    scored = cand.withColumn("cos", F.round(
-        dot / (nrm(F.col("qv")) * nrm(F.col("v"))), 4))
+    den = nrm(F.col("qv")) * nrm(F.col("v"))  # NULL-on-zero (see above)
+    scored = cand.withColumn("cos", F.when(den != 0.0,
+                                           F.round(dot / den, 4)))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
                                           F.col("vec_id").asc())
     return (scored.withColumn("rk", F.row_number().over(w))
@@ -870,6 +1053,90 @@ SELECT qid, rk, vec_id, cos FROM (
            PARTITION BY p.qid
            ORDER BY round({dot.format(l='p.qv', r='a.v')}
                     / ({nrm.format(v='p.qv')} * {nrm.format(v='a.v')}), 4)
+                    DESC, a.vec_id ASC) AS rk
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE a.vec_id != p.qid) t
+WHERE rk <= {_IVF_TOPK}
+"""
+
+
+def sql_ann_ivf_two_level(n: int, max_lists: int) -> str:
+    """DuckDB oracle for q_ann_ivf in TWO-LEVEL mode (k > max_lists):
+    identical stride-subsampled coarse set, fold-left cell routing,
+    within-cell fine argmax, coarse→fine probing, and tie rules.
+
+    Parity caveat (engine-only defensive branch): the kernel assigns
+    `cids[0]` when a routed cell has no fine members; the SQL join just
+    drops such rows. Empty cells require a coarse centroid to lose its
+    own cell to a duplicate-direction tie — impossible unless two
+    centroids are exactly collinear, which the test corpora exclude."""
+    import math
+
+    k = ivf_n_lists(n)
+    assert k > max_lists, "two-level oracle only applies above the cap"
+    m = max(1, n // k)
+    k1 = max(8, math.isqrt(k))
+    step = max(1, k // k1)
+    dot = (f"list_sum(list_transform(range(1, {_DIM} + 1), "
+           f"i -> {{l}}[i] * {{r}}[i]))")
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+
+    def cosx(l, r):
+        return (f"{dot.format(l=l, r=r)} / ({nrm.format(v=l)} * "
+                f"{nrm.format(v=r)})")
+
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv,
+         row_number() OVER (ORDER BY vec_id) - 1 AS j
+  FROM base WHERE vec_id % {m} = 0 ORDER BY vec_id LIMIT {k}),
+coarse AS (
+  SELECT j // {step} AS cell, cv AS c1v FROM cents
+  WHERE j % {step} = 0 AND j // {step} < {k1}),
+cellmap AS (
+  SELECT cid, cell FROM (
+    SELECT f.cid, co.cell,
+           row_number() OVER (PARTITION BY f.cid
+             ORDER BY {cosx('f.cv', 'co.c1v')} DESC, co.cell ASC) AS rn
+    FROM cents f CROSS JOIN coarse co) t WHERE rn = 1),
+routed AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT b.vec_id, b.v, co.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {cosx('b.v', 'co.c1v')} DESC, co.cell ASC) AS rn
+    FROM base b CROSS JOIN coarse co) t WHERE rn = 1),
+assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT r.vec_id, r.v, c.cid,
+           row_number() OVER (PARTITION BY r.vec_id
+             ORDER BY {cosx('r.v', 'c.cv')} DESC, c.cid ASC) AS rn
+    FROM routed r JOIN cellmap cm ON cm.cell = r.cell
+                  JOIN cents c ON c.cid = cm.cid) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM base
+      WHERE vec_id < {_IVF_N_QUERIES}),
+cells_probed AS (
+  SELECT qid, qv, cell FROM (
+    SELECT q.qid, q.qv, co.cell,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {cosx('q.qv', 'co.c1v')} DESC, co.cell ASC) AS pr
+    FROM q CROSS JOIN coarse co) t WHERE pr <= {_IVF_NPROBE1}),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT cp.qid, cp.qv, c.cid,
+           row_number() OVER (PARTITION BY cp.qid
+             ORDER BY {cosx('cp.qv', 'c.cv')} DESC, c.cid ASC) AS pr
+    FROM cells_probed cp JOIN cellmap cm ON cm.cell = cp.cell
+                         JOIN cents c ON c.cid = cm.cid) t
+  WHERE pr <= {_IVF_NPROBE})
+SELECT qid, rk, vec_id, cos FROM (
+  SELECT p.qid, a.vec_id,
+         round({cosx('p.qv', 'a.v')}, 4) AS cos,
+         row_number() OVER (
+           PARTITION BY p.qid
+           ORDER BY round({cosx('p.qv', 'a.v')}, 4)
                     DESC, a.vec_id ASC) AS rk
   FROM probes p JOIN assigned a USING (cid)
   WHERE a.vec_id != p.qid) t

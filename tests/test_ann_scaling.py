@@ -216,27 +216,47 @@ def test_bucket_kernel_matches_expression(spark, planted):
 
 
 def test_ann_stage_dir_redirect_and_cleanup(spark, monkeypatch, tmp_path):
-    """VERDICT r03 item 5: SKAR_STAGE_DIR redirects the staging root,
-    SKAR_ANN_STAGE forces staging below the size threshold, results
-    match the unstaged plan, and stale stage dirs are cleaned up."""
+    """VERDICT r03 item 5 + ADVICE r04: SKAR_STAGE_DIR redirects the
+    staging root, SKAR_ANN_STAGE forces staging below the size
+    threshold, results match the unstaged plan, OLD foreign stage dirs
+    are reclaimed, and a FRESH foreign stage dir (a concurrent job's
+    possibly-live staging) is left alone."""
     import os
+    import time
 
-    from skar_spark.ops.dedup import q_ann_lsh
+    from skar_spark.ops.dedup import _STAGE_MAX_AGE_SEC, q_ann_lsh
 
     sf = "/root/testdata/sf0.001"
     base = {(r.a, r.b, r.cos) for r in q_ann_lsh(spark, sf).collect()}
 
-    stale = tmp_path / "skar_ann_stage_deadbeef00"
+    # foreign = different applicationId prefix; old enough to reclaim
+    stale = tmp_path / "skar_ann_stage_app-000_deadbeef00"
     stale.mkdir()
+    old = time.time() - _STAGE_MAX_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    # fresh foreign dir: may be a live concurrent job — must survive
+    live = tmp_path / "skar_ann_stage_app-111_cafecafe00"
+    live.mkdir()
     monkeypatch.setenv("SKAR_STAGE_DIR", str(tmp_path))
     monkeypatch.setenv("SKAR_ANN_STAGE", "1")
     staged = {(r.a, r.b, r.cos) for r in q_ann_lsh(spark, sf).collect()}
 
     assert staged == base
-    dirs = [d for d in os.listdir(tmp_path)
-            if d.startswith("skar_ann_stage_")]
-    assert len(dirs) == 1                 # the live stage dir ...
-    assert not stale.exists()             # ... and the stale one is gone
+    assert not stale.exists()             # old foreign dir reclaimed
+    assert live.exists()                  # fresh foreign dir untouched
+    app = spark.sparkContext.applicationId
+    own = [d for d in os.listdir(tmp_path)
+           if d.startswith(f"skar_ann_stage_{app}_")]
+    assert len(own) == 1                  # exactly one live own stage
+
+    # a second run with the same app but a different tag reclaims the
+    # first stage immediately (serial queries within one app)
+    prev = own[0]
+    (tmp_path / f"skar_ann_stage_{app}_0000000000").mkdir()
+    q_ann_lsh(spark, sf).collect()
+    assert sorted(
+        d for d in os.listdir(tmp_path)
+        if d.startswith(f"skar_ann_stage_{app}_")) == [prev]
 
 
 def test_cosine_brute_guard(spark, monkeypatch):
@@ -274,12 +294,74 @@ def test_ivf_finds_planted_neardups(spark, planted):
 
 
 def test_ivf_lists_scale_with_n():
-    from skar_spark.ops.dedup import _IVF_MAX_LISTS, ivf_n_lists
+    from skar_spark.ops.dedup import ivf_n_lists
 
     assert ivf_n_lists(100) >= 8
     assert ivf_n_lists(10_000) == 100       # lists ≈ √n → ~√n rows/list
     assert ivf_n_lists(1_000_000) == 1000
-    assert ivf_n_lists(10**12) == _IVF_MAX_LISTS  # capped metadata size
+    # UNCAPPED (VERDICT r04 item 3): lists stay √n at any scale — above
+    # _IVF_MAX_LISTS the two-level quantizer takes over instead of the
+    # old flat cap that let list sizes grow linearly
+    assert ivf_n_lists(10**12) == 10**6
+
+
+def test_ivf_two_level_engages_above_cap(spark, planted, monkeypatch):
+    """With the flat-mode ceiling forced below √n the quantizer must go
+    two-level: coarse cells route assignment, per-query candidates stay
+    O(nprobe·√n), and the result matches the two-level DuckDB oracle
+    exactly (fold-left parity through BOTH argmax levels)."""
+    import duckdb
+
+    import skar_spark.ops.dedup as D
+
+    sf_dir, _, _ = planted
+    monkeypatch.setattr(D, "_IVF_MAX_LISTS", 8)
+
+    quant = D.ivf_quantizer(spark, sf_dir)
+    assert quant["coarse"] is not None        # two-level engaged
+    C1, _c1n, cells = quant["coarse"]
+    assert len(C1) == 8                       # k1 = max(8, √k)
+    assert len(cells) == quant["k"]
+
+    sdf = D.q_ann_ivf(spark, sf_dir)
+    got = {(r.qid, r.rk, r.vec_id, r.cos) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = {tuple(r) for r in con.execute(
+        D.sql_ann_ivf_two_level(quant["n"], 8)).fetchall()}
+    assert got == want
+
+    # candidate bound: nprobe fine lists (≈ n/k rows each) per query,
+    # drawn only from nprobe1 coarse cells — never a full scan
+    n, k = quant["n"], quant["k"]
+    bound = D._IVF_N_QUERIES * max(64, 4 * D._IVF_NPROBE * n // k)
+    assert sdf.count() <= bound
+
+
+def test_ivf_matmul_engine_mode_matches_foldleft(spark, planted,
+                                                 monkeypatch):
+    """SKAR_IVF_MATMUL=1 (engine mode: BLAS matmul assignment instead of
+    the fold-left oracle-parity loops) must produce the same lists and
+    top-k on well-separated data, in both flat and two-level modes."""
+    import skar_spark.ops.dedup as D
+
+    sf_dir, _, _ = planted
+    base = {(r.qid, r.rk, r.vec_id, r.cos)
+            for r in D.q_ann_ivf(spark, sf_dir).collect()}
+    monkeypatch.setenv("SKAR_IVF_MATMUL", "1")
+    fast = {(r.qid, r.rk, r.vec_id, r.cos)
+            for r in D.q_ann_ivf(spark, sf_dir).collect()}
+    assert fast == base
+
+    monkeypatch.setattr(D, "_IVF_MAX_LISTS", 8)  # two-level
+    two_fast = {(r.qid, r.rk, r.vec_id, r.cos)
+                for r in D.q_ann_ivf(spark, sf_dir).collect()}
+    monkeypatch.delenv("SKAR_IVF_MATMUL")
+    two_base = {(r.qid, r.rk, r.vec_id, r.cos)
+                for r in D.q_ann_ivf(spark, sf_dir).collect()}
+    assert two_fast == two_base
 
 
 def test_ivf_candidates_subquadratic(spark, planted):
