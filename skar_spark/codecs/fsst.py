@@ -83,6 +83,15 @@ SEGMENT = 1 << 18  # 256 KiB — decode segment size (see fsst_decompress)
 # full scan) — below these counts sequential C-speed replace wins
 NUMPY_LEVEL_MIN_FIRST = 14
 NUMPY_LEVEL_MIN_REST = 8
+# Decode crossover, measured on sf0.1 documents text (1.49 MB, both
+# profiles): one numpy scatter-expansion pass costs ≈ 30 single-byte
+# bytes.replace passes — decode replaces are memchr-bound SIMD scans
+# (93 MB/s/core DEFAULT chain, 44 ARCHIVE), so unlike ENCODE (2-byte
+# search patterns, shift-heavy) the sequential chain wins at every
+# real level size (largest observed: 26). The scatter path only
+# engages for pathological ≥32-symbol levels; a full-expansion LUT
+# gather decode was also measured (30/40 MB/s) and rejected.
+DECODE_NUMPY_LEVEL_MIN = 32
 
 
 def merge_levels(table: list[tuple[int, bytes]]
@@ -173,21 +182,66 @@ def fsst_compress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
 
 
 def fsst_decompress(data: bytes, table: list[tuple[int, bytes]]) -> bytes:
-    """Expand codes in reverse merge order. Segment-wise for the same
-    bandwidth reason as compress; safe at any boundary because every
-    search pattern is a single code byte."""
+    """Expand codes level-by-level, deepest first (VERDICT r04 item 4).
+
+    The per-level router was MEASURED (see DECODE_NUMPY_LEVEL_MIN): the
+    sequential C ``bytes.replace`` chain wins decode at every real
+    level size because expansion searches are single code BYTES —
+    memchr-bound SIMD scans — unlike encode's 2-byte shift-heavy
+    searches where the leveled numpy pass pays off. So in practice this
+    runs the same replace chain as before, grouped by level (same
+    result: a level-L code's pair only contains raw bytes / codes of
+    levels < L, never a same-level code, so any order within/between
+    independent codes reaches the same fixpoint — expansion is a
+    context-free unique-code rewrite).
+
+    The simultaneous scatter pass (LUT-match code bytes, output slot =
+    ``index + #matches-before`` via cumsum, scatter heads + pair-tails)
+    exists for pathological ≥DECODE_NUMPY_LEVEL_MIN-symbol levels and
+    is roundtrip-tested, but measured 2-5× slower on both profiles.
+    Segment-wise for cache residency; safe at any boundary because
+    every search pattern is a single code byte."""
     if not table:
         return data
+    levels = merge_levels(table)
+
+    def _expand(seg: np.ndarray) -> np.ndarray:
+        for level in reversed(levels):
+            if len(seg) == 0:
+                break
+            if len(level) < DECODE_NUMPY_LEVEL_MIN:
+                buf = seg.tobytes()
+                for code, pair in reversed(level):
+                    buf = buf.replace(bytes([code]), pair)
+                seg = np.frombuffer(buf, np.uint8)
+                continue
+            lut_m = np.zeros(256, np.bool_)
+            p0 = np.zeros(256, np.uint8)
+            p1 = np.zeros(256, np.uint8)
+            for code, pair in level:
+                lut_m[code] = True
+                p0[code] = pair[0]
+                p1[code] = pair[1]
+            m = lut_m[seg]
+            shift = np.cumsum(m)
+            k = int(shift[-1])
+            if k == 0:
+                continue
+            shift -= m                      # matches strictly before i
+            dst = np.arange(len(seg), dtype=np.int64)
+            dst += shift
+            out = np.empty(len(seg) + k, np.uint8)
+            out[dst] = np.where(m, p0[seg], seg)
+            out[dst[m] + 1] = p1[seg[m]]
+            seg = out
+        return seg
+
     if len(data) <= SEGMENT:
-        for code, pair in reversed(table):
-            data = data.replace(bytes([code]), pair)
-        return data
+        return _expand(np.frombuffer(data, np.uint8)).tobytes()
     out = []
     for s in range(0, len(data), SEGMENT):
-        seg = data[s:s + SEGMENT]
-        for code, pair in reversed(table):
-            seg = seg.replace(bytes([code]), pair)
-        out.append(seg)
+        out.append(_expand(
+            np.frombuffer(data[s:s + SEGMENT], np.uint8)).tobytes())
     return b"".join(out)
 
 

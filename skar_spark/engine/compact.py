@@ -45,7 +45,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.config import ARCHIVE, DEFAULT, EngineConfig
 from skar_spark.engine.encode import (
     FOOTER_DDL,
     _encode_kernel,
@@ -94,11 +94,23 @@ def assert_not_compacted(out_dir: str, op: str) -> None:
 def compact_parts(spark: SparkSession, out_dir: str,
                   cfg: EngineConfig = DEFAULT,
                   small_rows: int | None = None,
-                  min_parts: int = 2) -> dict:
+                  min_parts: int = 2,
+                  profile: EngineConfig | None = None) -> dict:
     """Compact all committed parts smaller than `small_rows` (default:
     cfg.target_partition_rows // 2) into ~target_partition_rows parts.
     Returns {"compacted_parts", "new_parts", "rows"}; no-op (and no
-    archival marker) when fewer than `min_parts` parts qualify."""
+    archival marker) when fewer than `min_parts` parts qualify.
+
+    Compaction IS the hot→cold tiering step (VERDICT r04 item 5): the
+    re-encode takes its CODEC knobs (symbol budget, zstd level, fsst
+    margins) from `profile` — default ``config.ARCHIVE``, the
+    size-optimized cold profile (0.775× the plain+zstd9 golden vs
+    DEFAULT's 0.972×) — while layout and partition sizing stay on the
+    caller's `cfg`. The consolidated cold set is write-once, so paying
+    the deeper symbol table once at compaction is the same trade the
+    reference makes flushing its hot tail to Zstd(9) full folders
+    (skar_runner.rs:285-353, write_parquet.rs:232-244). Pass
+    ``profile=cfg`` to keep the ingest codec unchanged."""
     from skar_spark.engine.decode import (
         _file_part_index,
         list_part_files,
@@ -149,8 +161,15 @@ def compact_parts(spark: SparkSession, out_dir: str,
         "part_id",
         (F.pmod(F.xxhash64("url"), F.lit(n_new)) + F.lit(hw)).cast("int"))
 
+    from dataclasses import replace as _dc_replace
+    p = profile if profile is not None else ARCHIVE
+    enc_cfg = _dc_replace(
+        cfg, fsst_max_symbols=p.fsst_max_symbols, zstd_level=p.zstd_level,
+        selector_margin_fsst=p.selector_margin_fsst,
+        fsst_sample_bytes=p.fsst_sample_bytes,
+        fsst_min_pair_count_frac=p.fsst_min_pair_count_frac)
     new_footers = planned.groupBy("part_id").applyInArrow(
-        _encode_kernel(out_dir, cfg, attempt), FOOTER_DDL)
+        _encode_kernel(out_dir, enc_cfg, attempt), FOOTER_DDL)
 
     # one atomic lineage swap: untouched latest rows + compacted rows.
     # allowMissingColumns backfills nulls for footer columns an older

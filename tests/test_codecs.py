@@ -103,3 +103,31 @@ def test_rle_split_exact():
     rv, rl = P.rle_split(vals)
     np.testing.assert_array_equal(rv, [5, 2, 9])
     np.testing.assert_array_equal(rl, [3, 2, 1])
+
+
+def test_fsst_scatter_decode_path_bit_identical(monkeypatch):
+    """The numpy scatter-expansion decode path (engaged only for
+    pathological ≥DECODE_NUMPY_LEVEL_MIN-symbol levels) must produce
+    bit-identical output to the C replace chain on both profiles."""
+    import numpy as np
+
+    import skar_spark.codecs.fsst as FS
+    from skar_spark.config import ARCHIVE, DEFAULT
+
+    rng = np.random.default_rng(5)
+    words = [bytes(rng.integers(97, 110, rng.integers(3, 9)).astype("u1"))
+             for _ in range(40)]
+    data = b" ".join(words[rng.integers(0, 40)] for _ in range(60_000))
+    for cfg in (DEFAULT, ARCHIVE):
+        free = FS.free_byte_values(data, cfg.fsst_max_symbols)
+        sample = data[:cfg.fsst_sample_bytes]
+        tbl = FS.build_symbol_table(
+            sample, free, int(len(sample) * cfg.fsst_min_pair_count_frac))
+        if not tbl:
+            continue
+        comp = FS.fsst_compress(data, tbl)
+        chain = FS.fsst_decompress(comp, tbl)
+        assert chain == data
+        monkeypatch.setattr(FS, "DECODE_NUMPY_LEVEL_MIN", 1)
+        assert FS.fsst_decompress(comp, tbl) == data
+        monkeypatch.setattr(FS, "DECODE_NUMPY_LEVEL_MIN", 32)

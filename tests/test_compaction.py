@@ -203,3 +203,57 @@ def test_stream_append_after_compaction(spark, streamed, tmp_path):
            .select("url").collect()}
     assert got == {u for u, _ in want
                    if u.split("://")[1].split("/")[0] == host}
+
+
+def test_compact_archive_profile_shrinks_cold_tier(spark, tmp_path):
+    """VERDICT r04 item 5: compaction defaults to the ARCHIVE codec
+    profile, so the consolidated cold tier lands at the size operating
+    point (bytes_out ≤ 0.85× the DEFAULT-encoded small parts) with
+    identical contents and working pruned point reads."""
+    import os
+
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.synth import synth_documents
+
+    cfg = EngineConfig(target_partition_rows=500, max_row_group_size=250,
+                       salt_threshold_rows=450)
+    out = str(tmp_path / "out")
+    docs = synth_documents(spark, 4_000, partitions=4)
+    encode_documents(spark, docs, out, cfg, n_rows=4_000)
+    files = list_part_files(out)
+    assert len(files) >= 6
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    want = {(r.url, r.text)
+            for r in scan(spark, out).select("url", "text").collect()}
+
+    res = compact_parts(
+        spark, out,
+        EngineConfig(target_partition_rows=4_000, max_row_group_size=2_000),
+        small_rows=4_000)
+    assert res["compacted_parts"] == len(files)
+    files_after = list_part_files(out)
+    bytes_after = sum(os.path.getsize(f) for f in files_after)
+    assert bytes_after <= 0.85 * bytes_before, (bytes_after, bytes_before)
+
+    got = {(r.url, r.text)
+           for r in scan(spark, out).select("url", "text").collect()}
+    assert got == want
+    assert all(r.ok for r in validate_output(spark, out).collect())
+    # pruned point read still exact on the cold tier
+    some = next(iter(want))[0]
+    host = some.split("://")[1].split("/")[0]
+    hit = scan(spark, out, host_eq=host).select("url").collect()
+    assert any(r.url == some for r in hit)
+    assert all(r.url.split("://")[1].split("/")[0] == host for r in hit)
+
+    # opting out: profile=cfg keeps the ingest codec (fresh table)
+    out2 = str(tmp_path / "out2")
+    encode_documents(spark, docs, out2, cfg, n_rows=4_000)
+    res2 = compact_parts(
+        spark, out2,
+        EngineConfig(target_partition_rows=4_000, max_row_group_size=2_000),
+        small_rows=4_000, profile=EngineConfig())
+    assert res2["compacted_parts"] >= 6
+    bytes_default = sum(os.path.getsize(f)
+                        for f in list_part_files(out2))
+    assert bytes_after < bytes_default   # ARCHIVE beats DEFAULT on size
