@@ -26,6 +26,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from skar_spark import pipeline
     from skar_spark.ops import (dedup, engine_queries, multimodal,
                                 relational, textops)
     return {
@@ -72,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end dedup decisions (survivor sets, not just pairs)
         "dedup_near": dedup.q_dedup_near,
         "embed_dedup": dedup.q_embed_dedup,
+        # composed curation pipeline survivor set (quality gate →
+        # exact-dedup min-id → near-dup survivor rule), r5
+        "pipeline_curate": pipeline.q_pipeline_curate,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -86,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from skar_spark import pipeline
     from skar_spark.ops import (dedup, engine_queries, multimodal,
                                 relational, textops)
     return {
@@ -134,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": dedup.sql_ann_ivf(),
         "dedup_near": dedup.sql_dedup_near(),
         "embed_dedup": dedup.sql_embed_dedup(),
+        "pipeline_curate": pipeline.sql_pipeline_curate(),
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

@@ -20,7 +20,8 @@ def curated(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("cur"))
     cfg = EngineConfig(target_partition_rows=200, max_row_group_size=100,
                        salt_threshold_rows=150)
-    return curate(spark, SF, out, cfg), out
+    # keep_stage=True: these tests audit the staged pair table
+    return curate(spark, SF, out, cfg, keep_stage=True), out
 
 
 def test_stage_counters_monotone(spark, curated):
@@ -62,3 +63,36 @@ def test_encoded_table_roundtrips(spark, curated):
     src_md5 = {r.h for r in src.select(F.md5("text").alias("h")).collect()}
     enc_md5 = {r.h for r in enc.select(F.md5("text").alias("h")).collect()}
     assert enc_md5 <= src_md5
+
+
+def test_stage_lifecycle(spark, curated, tmp_path):
+    """VERDICT r04 item 7: keep_stage=True retains the shared candidate
+    table (audited by the tests above); the DEFAULT run deletes the
+    whole stage root after the encode commits, leaving only the table."""
+    import os
+
+    stats, out = curated
+    assert stats["staged_pairs"] is not None
+    assert os.path.isdir(stats["staged_pairs"])   # kept on request
+
+    out2 = str(tmp_path / "cur2")
+    cfg = EngineConfig(target_partition_rows=200, max_row_group_size=100,
+                       salt_threshold_rows=150)
+    stats2 = curate(spark, SF, out2, cfg)         # default: no staging left
+    assert stats2["staged_pairs"] is None
+    assert not os.path.exists(os.path.join(out2, "stage"))
+    assert os.path.isdir(stats2["table"])
+    assert stats2["after_near_dedup"] == stats["after_near_dedup"]
+
+
+def test_pipeline_curate_query_matches_pipeline(spark, curated):
+    """The driver query q_pipeline_curate must emit exactly the encoded
+    corpus (same survivor rule, shared stage frames)."""
+    from skar_spark.pipeline import q_pipeline_curate
+
+    stats, _ = curated
+    got = {(r.url, r.text_md5)
+           for r in q_pipeline_curate(spark, SF).collect()}
+    enc = scan(spark, stats["table"]).select(
+        "url", F.md5("text").alias("text_md5"))
+    assert {(r.url, r.text_md5) for r in enc.collect()} == got
