@@ -62,7 +62,8 @@ def _compact_marker(out_dir: str) -> str:
 
 
 def is_compacted(out_dir: str) -> bool:
-    return os.path.exists(_compact_marker(out_dir))
+    from skar_spark.engine import storage
+    return storage.exists(_compact_marker(out_dir))
 
 
 def compaction_high_water(out_dir: str) -> int | None:
@@ -73,9 +74,10 @@ def compaction_high_water(out_dir: str) -> int | None:
     compacted partition — see streaming.stream_encode."""
     import json
 
+    from skar_spark.engine import storage
+
     try:
-        with open(_compact_marker(out_dir)) as fh:
-            meta = json.loads(fh.read())
+        meta = json.loads(storage.get_bytes(_compact_marker(out_dir)))
         return int(meta["pid_high_water"])
     except FileNotFoundError:
         return None
@@ -111,6 +113,7 @@ def compact_parts(spark: SparkSession, out_dir: str,
     reference makes flushing its hot tail to Zstd(9) full folders
     (skar_runner.rs:285-353, write_parquet.rs:232-244). Pass
     ``profile=cfg`` to keep the ingest codec unchanged."""
+    from skar_spark.engine import storage
     from skar_spark.engine.decode import (
         _file_part_index,
         list_part_files,
@@ -119,6 +122,7 @@ def compact_parts(spark: SparkSession, out_dir: str,
     from skar_spark.engine.decode_schema import spark_ddl_for
     from skar_spark.engine.partfile import read_footer
 
+    storage.require_posix(out_dir, "compact_parts")
     if is_retained(out_dir):
         raise ValueError("compact_parts does not support "
                          "retain_superseded tables")

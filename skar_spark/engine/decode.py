@@ -19,13 +19,12 @@ index (db/mod.rs:217-305) → row-group selection via zone maps + blooms
   the mapInArrow kernel against the part-file footer;
 - decode is vectorized (numpy/pyarrow) per column chunk.
 
-Storage assumption: table paths are POSIX-visible from the driver and
-every executor (local disk in local[..] mode, NFS/fuse mounts on a
-cluster) — the same assumption the reference's local-data-dir layout
-makes (skar/src/config.rs data_path). Porting to an object store is
-isolated to `list_part_files` (the lister) and `partfile.read_part_file`
-/ `write_part_file` (byte-range IO); every layer above works on opaque
-path strings.
+Storage: all path IO flows through `engine.storage` (the object-store
+seam, VERDICT r04 item 2) — POSIX roots pass through to open/glob/
+rename; non-POSIX roots route listing, part-file byte IO, and lineage
+parquet through the storage primitives (tested end-to-end on the
+dir-backed ``mock://`` fake). Every layer above works on opaque path
+strings.
 """
 
 from __future__ import annotations
@@ -37,13 +36,20 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from skar_spark.engine import storage
 from skar_spark.engine.decode_schema import spark_ddl_for
 from skar_spark.engine.encode import read_lineage
 from skar_spark.engine.partfile import read_footer, read_part_file
 
 
 def list_part_files(out_dir: str) -> list[str]:
-    return sorted(glob.glob(os.path.join(out_dir, "parts", "part-*.skar")))
+    if storage.is_posix(out_dir):
+        return sorted(glob.glob(
+            os.path.join(out_dir, "parts", "part-*.skar")))
+    # object store: directory = key prefix, listing via the seam
+    return [p for p in storage.list_prefix(f"{out_dir}/parts")
+            if p.rsplit("/", 1)[1].startswith("part-")
+            and p.endswith(".skar")]
 
 
 def lineage_file_sets_local(out_dir: str
@@ -61,9 +67,9 @@ def lineage_file_sets_local(out_dir: str
 
     recover_lineage_swap(out_dir)
     ldir = lineage_dir(out_dir)
-    if not os.path.isdir(ldir):
+    if not storage.dir_exists(ldir):
         return None
-    d = pads.dataset(ldir, format="parquet")
+    d = pads.dataset(storage.localize_dir(ldir), format="parquet")
     committed: set[str] = set()
     recorded: set[str] = set()
     for b in d.to_batches(columns=["file", "status"]):
@@ -337,7 +343,8 @@ def prune_partitions_local(out_dir: str,
     from skar_spark.engine.encode import recover_lineage_swap
     recover_lineage_swap(out_dir)  # heal an interrupted vacuum/compact
     try:
-        d = pads.dataset(lineage_dir(out_dir), format="parquet")
+        d = pads.dataset(storage.localize_dir(lineage_dir(out_dir)),
+                         format="parquet")
     except Exception:
         return _no_lineage()
     cols = ["partition_id", "file", "min_warc_ts", "max_warc_ts",
@@ -370,7 +377,8 @@ def prune_partitions_local(out_dir: str,
     if ts_range is not None and as_of is None \
             and not is_retained(out_dir):
         batches = _iter_lineage_rowgroups(
-            lineage_dir(out_dir), cols, ts_range, seek_stats)
+            storage.localize_dir(lineage_dir(out_dir)), cols, ts_range,
+            seek_stats)
     else:
         batches = d.to_batches(columns=cols)
     latest: dict[int, tuple[float, str, bool]] = {}

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine import storage
 from skar_spark.engine.partfile import (
     partition_checksum,
     partition_host_bloom,
@@ -417,6 +418,10 @@ def recover_lineage_swap(out_dir: str) -> None:
     import shutil
 
     path = lineage_dir(out_dir)
+    if not storage.is_posix(path):
+        # object-store tables never swap (vacuum/compaction are refused
+        # there — storage.require_posix); nothing to heal
+        return
     if os.path.isdir(path):
         for _tmp_sfx, old_sfx in _SWAP_SUFFIXES:
             if os.path.isdir(path + old_sfx):
@@ -449,32 +454,30 @@ def _meta_dir(out_dir: str) -> str:
 
 def save_plan_meta(out_dir: str, meta: dict) -> None:
     import json
-    os.makedirs(_meta_dir(out_dir), exist_ok=True)
-    tmp = os.path.join(_meta_dir(out_dir), "plan.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(_meta_dir(out_dir), "plan.json"))
+    storage.makedirs(_meta_dir(out_dir))
+    storage.put_bytes(os.path.join(_meta_dir(out_dir), "plan.json"),
+                      json.dumps(meta).encode())
 
 
 def load_plan_meta(out_dir: str) -> dict | None:
     import json
     try:
-        with open(os.path.join(_meta_dir(out_dir), "plan.json")) as f:
-            return json.load(f)
+        return json.loads(storage.get_bytes(
+            os.path.join(_meta_dir(out_dir), "plan.json")))
     except FileNotFoundError:
         return None
 
 
 def save_salt_map(spark: SparkSession, out_dir: str,
                   sm: DataFrame) -> None:
-    sm.write.mode("overwrite").parquet(
-        os.path.join(_meta_dir(out_dir), "salt_map"))
+    storage.spark_write_parquet(
+        sm, os.path.join(_meta_dir(out_dir), "salt_map"))
 
 
 def load_salt_map(spark: SparkSession, out_dir: str) -> DataFrame | None:
     try:
-        return spark.read.parquet(os.path.join(_meta_dir(out_dir),
-                                               "salt_map"))
+        return storage.spark_read_parquet(
+            spark, os.path.join(_meta_dir(out_dir), "salt_map"))
     except Exception:
         return None
 
@@ -496,7 +499,7 @@ def read_lineage(spark: SparkSession, out_dir: str,
     recover_lineage_swap(out_dir)  # complete any interrupted swap first
     path = lineage_dir(out_dir)
     try:
-        lin = spark.read.parquet(path)
+        lin = storage.spark_read_parquet(spark, path)
     except Exception:
         return None
     if as_of is not None:
@@ -533,16 +536,15 @@ def _retain_marker(out_dir: str) -> str:
 
 
 def mark_retained(out_dir: str) -> None:
-    os.makedirs(_meta_dir(out_dir), exist_ok=True)
-    with open(_retain_marker(out_dir), "w") as f:
-        f.write("retain_superseded\n")
+    storage.makedirs(_meta_dir(out_dir))
+    storage.put_bytes(_retain_marker(out_dir), b"retain_superseded\n")
 
 
 def is_retained(out_dir: str) -> bool:
     """True if any attempt on this table retained superseded part files
     (readers must then resolve the file set through lineage, never the
     raw directory listing)."""
-    return os.path.exists(_retain_marker(out_dir))
+    return storage.exists(_retain_marker(out_dir))
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -584,6 +586,7 @@ def vacuum(spark: SparkSession, out_dir: str) -> list[str]:
     of truth); they cost disk space only."""
     import shutil
 
+    storage.require_posix(out_dir, "vacuum")
     lin_all = read_lineage(spark, out_dir)
     if lin_all is None:
         return []
@@ -655,7 +658,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     if resume:
         from skar_spark.engine.compact import assert_not_compacted
         assert_not_compacted(out_dir, "encode resume")
-    os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
+    storage.makedirs(os.path.join(out_dir, "parts"))
     host_counts = None
     day_meta = None
     if scheme == "day_hash":
@@ -796,8 +799,9 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         # every row (decode._iter_lineage_rowgroups — the analog of the
         # reference's keyed mdbx range cursor, db/mod.rs:217-305). The
         # repartition(1) barrier keeps the kernel stage parallel.
-        (footers.repartition(1).sortWithinPartitions("min_warc_ts")
-         .write.mode("append").parquet(lineage_dir(out_dir)))
+        storage.spark_write_parquet(
+            footers.repartition(1).sortWithinPartitions("min_warc_ts"),
+            lineage_dir(out_dir), mode="append")
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
               f"({len(batch_ids)} parts)", file=sys.stderr)
         ran += 1
@@ -880,5 +884,6 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
         _encode_kernel(out_dir, cfg, attempt,
                        _kernel_name_fmt(cfg, attempt, out_dir)),
         FOOTER_DDL)
-    footers.write.mode("append").parquet(lineage_dir(out_dir))
+    storage.spark_write_parquet(footers, lineage_dir(out_dir),
+                                mode="append")
     return read_lineage(spark, out_dir, latest=True)

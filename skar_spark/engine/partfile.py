@@ -29,6 +29,7 @@ import pyarrow as pa
 from skar_spark.codecs import decode_array, encode_auto
 from skar_spark.codecs.framing import typecode, type_from_code
 from skar_spark.config import DEFAULT, EngineConfig
+from skar_spark.engine import storage
 from skar_spark.engine.bloom import SplitBlockBloom, bloom_from_keys, xxh64
 
 MAGIC = b"SKARSP01"
@@ -74,14 +75,16 @@ def write_part_file(path: str, table: pa.Table,
     """
     import time as _time
     t_start = _time.time()
-    tmp = path + ".tmp"
     n = table.num_rows
     cols = [c for c in table.column_names if not c.startswith("_")]
     rowgroups = []
     codec_counts: dict[str, dict[str, int]] = {c: {} for c in cols}
     bytes_in = 0
 
-    with open(tmp, "wb") as f:
+    # posix: temp file + rename; object store: whole-file buffer + one
+    # atomic PUT (the reference's own publish shape, write_parquet.rs:63-77)
+    with storage.spooled_part_writer(path) as w:
+        f = w.f
         f.write(MAGIC)
         pos = len(MAGIC)
         for start in range(0, max(n, 1), cfg.max_row_group_size):
@@ -144,11 +147,11 @@ def write_part_file(path: str, table: pa.Table,
         f.write(fj)
         f.write(len(fj).to_bytes(4, "little"))
         f.write(MAGIC)
-    os.replace(tmp, path)  # atomic publish
+        bytes_out = w.publish()  # atomic publish (rename / single PUT)
 
     return {
         "bytes_in": bytes_in,
-        "bytes_out": os.path.getsize(path),
+        "bytes_out": bytes_out,
         "n_row_groups": len(rowgroups),
         "encode_sec": round(_time.time() - t_start, 3),
         "codec_choices": json.dumps(
@@ -158,8 +161,8 @@ def write_part_file(path: str, table: pa.Table,
 
 
 def read_footer(path: str) -> dict:
-    size = os.path.getsize(path)
-    with open(path, "rb") as f:
+    size = storage.getsize(path)
+    with storage.open_read(path) as f:
         f.seek(size - 12)
         tail = f.read(12)
         assert tail[4:] == MAGIC, f"bad trailing magic in {path}"
@@ -220,7 +223,7 @@ def read_part_file(path: str, columns: list[str] | None = None,
     if need_lang and "lang" not in read_cols:
         read_cols.append("lang")
     tables = []
-    with open(path, "rb") as f:
+    with storage.open_read(path) as f:
         for rg in footer["rowgroups"]:
             if ts_range is not None and "zmin" in rg:
                 if rg["zmin"] >= ts_range[1] or rg["zmax"] < ts_range[0]:

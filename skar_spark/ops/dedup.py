@@ -625,8 +625,9 @@ def q_ann_lsh(spark, sf):
         stage_dir = f"{stage_root}/{stage_name}"
         _cleanup_stale_stages(stage_root, keep=stage_name,
                               app_prefix=app_prefix)
-        capped_lazy.write.mode("overwrite").parquet(stage_dir)
-        capped = spark.read.parquet(stage_dir)
+        from skar_spark.engine import storage as _storage
+        _storage.spark_write_parquet(capped_lazy, stage_dir)
+        capped = _storage.spark_read_parquet(spark, stage_dir)
 
         if "://" in stage_root:
             kept = capped.count()  # object store: no local footers
