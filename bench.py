@@ -26,6 +26,17 @@ import sys
 import time
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-min load averages — ambient-load telemetry (VERDICT r04:
+    BENCH_r04 was taken under heavy hypervisor-neighbor load and the
+    artifact could not show it; now every record carries the evidence)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except OSError:
+        return [-1.0, -1.0, -1.0]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -35,6 +46,20 @@ def main() -> None:
     # 97% fixed overhead at that size)
     n_docs = int(os.environ.get("SKAR_BENCH_DOCS", "400000"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    load_track: dict = {"at_start": _loadavg()}
+    # ambient gate: wait (bounded) for hypervisor-neighbor load to drop
+    # before timing anything — our own process has no threads yet, so
+    # load-average here is pure ambient
+    ambient_thr = float(os.environ.get("SKAR_BENCH_AMBIENT_THR", "3.0"))
+    waited = 0
+    while load_track["at_start"][0] > ambient_thr and waited < 180:
+        time.sleep(45)
+        waited += 45
+        load_track["at_start"] = _loadavg()
+    load_track["ambient_wait_sec"] = waited
+    load_track["ambient_loaded"] = bool(
+        load_track["at_start"][0] > ambient_thr)
 
     from skar_spark.session import get_spark
     spark = get_spark(cpus=cpus, app="skar_bench")
@@ -64,17 +89,24 @@ def main() -> None:
                      EngineConfig(target_partition_rows=1_000),
                      n_rows=max(n_docs // 50, 1))
     shutil.rmtree(out + ".warm", ignore_errors=True)
-    # two timed reps, best-of: identical back-to-back encodes measure
-    # ~63→46→31 s on this hypervisor (JIT warm-in + fresh-page faults,
-    # BENCH.md r2 protocol) — steady-state best-of is the honest number
-    # for a long-running ingest; both reps are recorded.
+    # timed reps, best-of-3 (+1 retry rep if the box was ambient-loaded
+    # at start): identical back-to-back encodes measure ~63→46→31 s on
+    # this hypervisor (JIT warm-in + fresh-page faults, BENCH.md r2
+    # protocol) — steady-state best-of is the honest number for a
+    # long-running ingest; every rep and its load-average are recorded
+    # so a loaded run is self-explaining (VERDICT r04 item 1).
+    load_track["pre_encode"] = _loadavg()
+    n_reps = 3 + (1 if load_track["ambient_loaded"] else 0)
     reps = []
-    for rep in range(2):
+    rep_loads = []
+    for rep in range(n_reps):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.time()
         lin = encode_documents(spark, docs, out, cfg, n_rows=n_docs)
         agg = lin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
-        reps.append(time.time() - t0)
+        reps.append(round(time.time() - t0, 3))
+        rep_loads.append(_loadavg())
+    load_track["encode_rep_loads"] = rep_loads
     enc_sec = min(reps)
     bytes_in, bytes_out = int(agg[0]), int(agg[1])
     timings["encode_job"] = round(enc_sec, 3)
@@ -127,14 +159,22 @@ def main() -> None:
     arc_in, arc_out = int(aagg[0]), int(aagg[1])
     arc_golden = golden_bytes_of(a_docs, a_rows)
     a_docs.unpersist()
-    shutil.rmtree(aout, ignore_errors=True)
 
-    # decode-verify timing
+    # decode-verify timing, BOTH profiles (VERDICT r04 item 4: the
+    # cold-tier read cost must be on the record): full scan of the
+    # DEFAULT table and of the ARCHIVE quarter table
     from skar_spark.engine.decode import scan
     t0 = time.time()
     n_back = scan(spark, out).count()
-    timings["decode_job"] = round(time.time() - t0, 3)
+    dec_sec = time.time() - t0
+    timings["decode_job"] = round(dec_sec, 3)
     assert n_back == n_docs, (n_back, n_docs)
+    t0 = time.time()
+    a_back = scan(spark, aout).count()
+    arc_dec_sec = time.time() - t0
+    timings["decode_archive"] = round(arc_dec_sec, 3)
+    assert a_back == a_rows, (a_back, a_rows)
+    shutil.rmtree(aout, ignore_errors=True)
 
     # bloom-pruned point query over the encoded output via the skar
     # DataSource (the shape of the reference's one published number:
@@ -175,6 +215,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
+    load_track["at_end"] = _loadavg()
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "e2e_sec",
@@ -190,6 +231,7 @@ def main() -> None:
             "gb_per_sec": round(bytes_in / enc_sec / 1e9, 4),
             "golden_bytes": golden_bytes,
             "vs_golden": round(bytes_out / max(golden_bytes, 1), 3),
+            "encode_rep_secs": reps,
             "archive": {
                 "n_docs": a_rows,
                 "bytes_in": arc_in,
@@ -197,8 +239,15 @@ def main() -> None:
                 "gb_per_sec": round(arc_in / arc_sec / 1e9, 4),
                 "vs_golden": round(arc_out / max(arc_golden, 1), 3),
             },
+            "decode": {
+                "default_mb_s_core": round(
+                    bytes_in / dec_sec / 1e6 / cpus, 2),
+                "archive_mb_s_core": round(
+                    arc_in / arc_dec_sec / 1e6 / cpus, 2),
+            },
             "cpus": cpus,
         },
+        "load": load_track,
     }
     spark.stop()
     print(json.dumps(result))
