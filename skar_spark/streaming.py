@@ -81,7 +81,8 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   max_files_per_trigger: int = 16,
                   max_bytes_per_trigger: int | None = None,
                   max_retries: int = 3,
-                  backoff_base_sec: float = 0.5):
+                  backoff_base_sec: float = 0.5,
+                  max_bytes_per_sec: float | None = None):
     """Continuously encode documents landing as parquet in `input_dir`.
 
     Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
@@ -96,6 +97,14 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     it (`ignoreMissingFiles` lets the fixed file list skip the moved
     file) — quarantining is not counted against the retry budget, and
     every quarantined file is visible on disk, never silently dropped.
+
+    `max_bytes_per_sec` is the RATE-limit analog of the reference's
+    per-endpoint req/s governor (endpoint.rs:191-245): where
+    maxBytes/FilesPerTrigger bound each micro-batch's VOLUME, this
+    paces SUSTAINED intake — after each committed batch the driver
+    sleeps until elapsed ≥ admitted_bytes / rate (a token bucket with
+    one-batch burst). Use it to keep a backfill from starving the
+    upstream source or saturating the cluster's ingest share.
     """
     from skar_spark.engine.compact import (
         compaction_high_water,
@@ -171,10 +180,29 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
          .write.mode("append").parquet(lineage_dir(out_dir)))
 
     def process_batch(bdf: DataFrame, epoch_id: int) -> None:
+        t_batch0 = time.time()
         attempts = 0
         while True:
             try:
                 encode_batch(bdf, epoch_id)
+                if max_bytes_per_sec:
+                    # token-bucket pacing (see docstring): one columnar
+                    # agg over the in-memory batch; sleep off any rate
+                    # excess before the next trigger is planned
+                    row = bdf.agg(F.sum(sum(
+                        F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+                        for c in ("url", "text", "html", "lang")))
+                        .alias("b")).collect()[0]
+                    admitted = float(row.b or 0)
+                    min_elapsed = admitted / float(max_bytes_per_sec)
+                    excess = min_elapsed - (time.time() - t_batch0)
+                    if excess > 0:
+                        print(f"[stream_encode] epoch {epoch_id}: rate "
+                              f"limit {max_bytes_per_sec:.0f} B/s — "
+                              f"pacing {excess:.2f}s "
+                              f"({admitted:.0f} B admitted)",
+                              file=sys.stderr)
+                        time.sleep(excess)
                 return
             except Exception as e:
                 # retrying an interrupted/stopped query is wrong — bail

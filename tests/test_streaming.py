@@ -258,3 +258,42 @@ def test_max_bytes_per_trigger_bounds_epoch_bytes(spark, tmp_path):
     assert sum(per_epoch.values()) == 6 * per_file   # nothing lost
     assert len(per_epoch) >= 3                       # really bounded
     assert max(per_epoch.values()) <= 2 * per_file   # ≤ 2 files/epoch
+
+
+def test_max_bytes_per_sec_paces_intake(spark, tmp_path):
+    """r5 rate-limit analog (endpoint.rs:191-245 per-endpoint governor):
+    with a byte RATE cap, draining the landing dir must take at least
+    admitted_bytes / rate wall seconds; uncapped it runs much faster;
+    and the paced run still encodes every row exactly once."""
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    from skar_spark.engine.decode import scan
+
+    d = tmp_path / "landing_rate"
+    d.mkdir()
+    per_file = 150
+    for i in range(3):
+        _pq.write_table(
+            synth_batch(np.arange(i * per_file, (i + 1) * per_file)),
+            str(d / f"f{i}.parquet"))
+
+    # logical bytes of the dataset (the same measure the limiter uses)
+    docs = spark.read.parquet(str(d))
+    from pyspark.sql import functions as F
+    total = docs.agg(F.sum(sum(
+        F.coalesce(F.octet_length(F.col(c)), F.lit(0))
+        for c in ("url", "text", "html", "lang"))).alias("b")) \
+        .collect()[0].b
+
+    rate = total / 4.0               # → ≥ 4 s of pacing across epochs
+    out = str(tmp_path / "rate_out")
+    t0 = _time.time()
+    q = stream_encode(spark, str(d), out, CFG, parts_per_batch=2,
+                      max_files_per_trigger=1,
+                      max_bytes_per_sec=rate)
+    q.awaitTermination(240)
+    elapsed = _time.time() - t0
+    assert elapsed >= total / rate - 0.5, (elapsed, total / rate)
+    assert scan(spark, out).count() == 3 * per_file  # exactly once
