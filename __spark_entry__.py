@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from skar_spark import pipeline
     from skar_spark.ops import (dedup, engine_queries, multimodal,
-                                relational, textops)
+                                relational, sampling, textops)
     return {
         # relational operator surface (SURVEY §2.2-2.6)
         "range_filter": relational.q_range_filter,
@@ -72,10 +72,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": dedup.q_ann_ivf,
         # end-to-end dedup decisions (survivor sets, not just pairs)
         "dedup_near": dedup.q_dedup_near,
+        "dedup_clusters": dedup.q_dedup_clusters,
         "embed_dedup": dedup.q_embed_dedup,
         # composed curation pipeline survivor set (quality gate →
         # exact-dedup min-id → near-dup survivor rule), r5
         "pipeline_curate": pipeline.q_pipeline_curate,
+        # deterministic sampling + sketching (r5)
+        "sample_hash": sampling.q_sample_hash,
+        "sample_stratified": sampling.q_sample_stratified,
+        "kmv_distinct": sampling.q_kmv_distinct,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -92,7 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from skar_spark import pipeline
     from skar_spark.ops import (dedup, engine_queries, multimodal,
-                                relational, textops)
+                                relational, sampling, textops)
     return {
         "range_filter": relational.SQL_RANGE_FILTER,
         "inset_disjunction": relational.SQL_INSET_DISJUNCTION,
@@ -138,8 +143,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": dedup.sql_ann_lsh(),
         "ann_ivf": dedup.sql_ann_ivf(),
         "dedup_near": dedup.sql_dedup_near(),
+        "dedup_clusters": dedup.sql_dedup_clusters(),
         "embed_dedup": dedup.sql_embed_dedup(),
         "pipeline_curate": pipeline.sql_pipeline_curate(),
+        "sample_hash": sampling.SQL_SAMPLE_HASH,
+        "sample_stratified": sampling.SQL_SAMPLE_STRATIFIED,
+        "kmv_distinct": sampling.SQL_KMV_DISTINCT,
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

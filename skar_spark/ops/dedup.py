@@ -336,6 +336,74 @@ WHERE doc_id NOT IN (SELECT b FROM ({sql_ngram_jaccard(n)}) pairs)
 """
 
 
+# --- near-dup clustering (connected components over the verified graph) --------
+#
+# The survivor rules above are single-hop (a doc is dropped iff some
+# lower-id doc is directly similar). A corpus build also needs the
+# TRANSITIVE view — A~B, B~C puts A,C in one cluster even when A,C are
+# not directly similar — to pick one canonical doc per duplicate
+# CLUSTER (and to audit cluster size distributions). cluster id = min
+# doc_id reachable in the verified near-dup graph.
+#
+# Spark shape: iterative min-label propagation over the symmetrized
+# edge list — per round one equi-join + a map-side-combinable min-agg;
+# converges in ≤ diameter(G) rounds (near-dup components are shallow —
+# chains of noisy copies), detected by a changed-count of 0. Each
+# round's labels are localCheckpoint'ed: truncates the growing lazy
+# plan AND keeps the loop's work from re-running q_ngram_jaccard once
+# per round (labels/edges are materialized executor-side; O(n) longs).
+# The same loop at 10^12 docs is the standard large-graph CC shape
+# (label propagation / hash-min), bounded by rounds × one shuffle.
+
+_CC_MAX_ITERS = 25
+
+
+def q_dedup_clusters(spark, sf):
+    pairs = q_ngram_jaccard(spark, sf).select("a", "b")
+    edges = (pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct().localCheckpoint(eager=True))
+    labels = (load(spark, sf, "documents")
+              .select(F.col("doc_id").alias("id"))
+              .withColumn("lbl", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(_CC_MAX_ITERS):  # ≤ graph DIAMETER rounds (metadata)
+        nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
+               .select(F.col("a").alias("id"), "lbl"))
+        prop = nbr.groupBy("id").agg(F.min("lbl").alias("nlbl"))
+        new = (labels.withColumnRenamed("lbl", "old")
+               .join(prop, "id", "left")
+               .select("id", F.least(
+                   F.col("old"),
+                   F.coalesce(F.col("nlbl"), F.col("old"))).alias("lbl"),
+                   F.col("old"))
+               .localCheckpoint(eager=True))
+        changed = new.filter(F.col("lbl") != F.col("old")).count()
+        labels = new.drop("old")
+        if changed == 0:
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("lbl").alias("cluster"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds — "
+        "component diameter exceeds the cap; raise _CC_MAX_ITERS")
+
+
+def sql_dedup_clusters(n: int | None = None) -> str:
+    """DuckDB oracle: recursive min-label closure over the same
+    symmetrized near-dup graph — min reachable doc_id per node."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({sql_ngram_jaccard(n)}),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+cc(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, c.lbl FROM edges e JOIN cc c ON c.id = e.b
+)
+SELECT id AS doc_id, min(lbl) AS cluster FROM cc GROUP BY id
+"""
+
+
 # --- embedding cosine top-k (brute force baseline) -----------------------------
 
 _TOPK = 10
