@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=5)
     ap.add_argument("--max-tokens", type=int, default=100_000)
     ap.add_argument("--max-stopword-rate", type=float, default=0.8)
+    ap.add_argument("--keep-stage", action="store_true",
+                    help="retain {out}/stage/near_dup_pairs (the shared "
+                         "verified-candidates table) after the encode "
+                         "commits instead of deleting it")
     args = ap.parse_args()
 
     from skar_spark.pipeline import curate
@@ -37,7 +41,8 @@ def main() -> None:
     stats = curate(spark, args.sf_dir, args.out,
                    min_tokens=args.min_tokens,
                    max_tokens=args.max_tokens,
-                   max_stopword_rate=args.max_stopword_rate)
+                   max_stopword_rate=args.max_stopword_rate,
+                   keep_stage=args.keep_stage)
     spark.stop()
     print(json.dumps(stats))
 
