@@ -173,6 +173,33 @@ def make_input(docs: int) -> str:
     return path
 
 
+def _loadavg1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except OSError:
+        return -1.0
+
+
+def _ambient_gate(thr: float, max_wait: int = 600) -> float:
+    """Wait (bounded) for ambient hypervisor-neighbor load to drop
+    below `thr` before a timed leg starts — the scaling criterion is a
+    RATIO of two legs measured minutes apart, so one leg catching an
+    ambient spike biases it directly (r5: a 4N leg under load 5-8
+    measured 43-71 s rep spread vs 37-42 s quiet). Returns the load at
+    gate release; both legs' values are recorded in the result JSON."""
+    waited = 0
+    load = _loadavg1()
+    while load > thr and waited < max_wait:
+        time.sleep(30)
+        waited += 30
+        load = _loadavg1()
+    if waited:
+        print(f"[scaling] ambient gate: waited {waited}s "
+              f"(load now {load:.2f})", file=sys.stderr)
+    return load
+
+
 def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
                   partitions: int, executor_mem: str,
                   timeout: int = 3600, job_repeats: int = 3) -> dict:
@@ -191,6 +218,7 @@ def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
            "--cpus", str(total_cores), "--master", MASTER_URL,
            "--partitions", str(partitions), "--warmup",
            "--repeats", str(job_repeats)]
+    load0 = _ambient_gate(thr=2.5)
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd=REPO, timeout=timeout)
     for d in [out] + _glob.glob(out + ".r*") + [out + ".warmup"]:
@@ -200,7 +228,10 @@ def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
                            f"{p.stderr[-3000:]}")
     line = [ln for ln in p.stdout.strip().splitlines()
             if ln.startswith("{")][-1]
-    return json.loads(line)
+    res = json.loads(line)
+    res["load_at_start"] = load0
+    res["load_at_end"] = _loadavg1()
+    return res
 
 
 def _pkg_zip() -> str:
@@ -310,6 +341,10 @@ def main() -> None:
         "scaling_efficiency": round(eff, 3),
         "pass_0_8": eff >= 0.8,
         "ratio": best_4n["ratio"],
+        "leg_loads_n": [[r.get("load_at_start"), r.get("load_at_end")]
+                        for r in runs_n],
+        "leg_loads_4n": [[r.get("load_at_start"), r.get("load_at_end")]
+                         for r in runs_4n],
     }))
 
 
