@@ -61,6 +61,87 @@ FOOTER_DDL = (
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
 
+def append_lineage_rows(footers: "DataFrame", out_dir: str) -> int:
+    """Commit one batch/epoch's lineage rows.
+
+    The footers are METADATA — one row per encoded partition, at most
+    ``cfg.batch_partitions`` of them — so a second Spark job with a
+    ``repartition(1)`` exchange just to land them as parquet is a FIXED
+    serial barrier per batch: it costs the same at every cluster size,
+    which makes it an Amdahl term the N→4N scaling ratio pays directly
+    (measured r5: ~1s × 5 batches ≈ 15% of the 4N leg's 40s wall but
+    only ~5% of the N leg's 130s). Instead: collect the rows (this
+    runs the encode kernel job — the same single job the write used to
+    trigger), sort driver-side by ``min_warc_ts`` (keeps the lineage
+    row-group seek index tight, decode._iter_lineage_rowgroups), and
+    PUT one parquet object through the storage seam (atomic temp+rename
+    / object PUT — and no local spool needed on object stores).
+
+    Returns the number of rows committed."""
+    import datetime as _dt
+    import io
+
+    import pyarrow.parquet as _pq
+
+    rows = footers.collect()   # metadata rows, never data rows
+    if not rows:
+        return 0
+    rows.sort(key=lambda r: (r.min_warc_ts is None,
+                             r.min_warc_ts or _dt.datetime.min))
+
+    def _ts(vals):
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+            elif v.tzinfo is None:
+                # Spark collects timestamps as naive datetimes in the
+                # session timezone (UTC for this engine)
+                out.append(v.replace(tzinfo=_dt.timezone.utc))
+            else:
+                out.append(v)
+        return pa.array(out, pa.timestamp("us", tz="UTC"))
+
+    def _bin(vals):
+        return pa.array([None if v is None else bytes(v) for v in vals],
+                        pa.binary())
+
+    t = pa.table({
+        "partition_id": pa.array([r.partition_id for r in rows],
+                                 pa.int32()),
+        "attempt_id": pa.array([r.attempt_id for r in rows], pa.string()),
+        "status": pa.array([r.status for r in rows], pa.string()),
+        "row_count": pa.array([r.row_count for r in rows], pa.int64()),
+        "codec_choices": pa.array([r.codec_choices for r in rows],
+                                  pa.string()),
+        "bytes_in": pa.array([r.bytes_in for r in rows], pa.int64()),
+        "bytes_out": pa.array([r.bytes_out for r in rows], pa.int64()),
+        "min_warc_ts": _ts([r.min_warc_ts for r in rows]),
+        "max_warc_ts": _ts([r.max_warc_ts for r in rows]),
+        "n_hosts": pa.array([r.n_hosts for r in rows], pa.int32()),
+        "n_row_groups": pa.array([r.n_row_groups for r in rows],
+                                 pa.int32()),
+        "host_bloom": _bin([r.host_bloom for r in rows]),
+        "lang_bloom": _bin([r.lang_bloom for r in rows]),
+        "text_checksum": _bin([r.text_checksum for r in rows]),
+        "sort_sec": pa.array([r.sort_sec for r in rows], pa.float64()),
+        "encode_sec": pa.array([r.encode_sec for r in rows],
+                               pa.float64()),
+        "meta_sec": pa.array([r.meta_sec for r in rows], pa.float64()),
+        "file": pa.array([r.file for r in rows], pa.string()),
+        "committed_at": pa.array([r.committed_at for r in rows],
+                                 pa.float64()),
+    })
+    buf = io.BytesIO()
+    _pq.write_table(t, buf)
+    storage.put_bytes(
+        os.path.join(lineage_dir(out_dir),
+                     f"batch-{uuid.uuid4().hex[:12]}.parquet"),
+        buf.getvalue())
+    return len(rows)
+
+
+
 
 def with_host(df: DataFrame) -> DataFrame:
     """Derive the host column from url (JVM-side regexp, codegen'd)."""
@@ -797,11 +878,11 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         # parquet row-group stats then become a zone-map index over the
         # index itself, and the local pruner seeks instead of streaming
         # every row (decode._iter_lineage_rowgroups — the analog of the
-        # reference's keyed mdbx range cursor, db/mod.rs:217-305). The
-        # repartition(1) barrier keeps the kernel stage parallel.
-        storage.spark_write_parquet(
-            footers.repartition(1).sortWithinPartitions("min_warc_ts"),
-            lineage_dir(out_dir), mode="append")
+        # reference's keyed mdbx range cursor, db/mod.rs:217-305).
+        # Committed driver-side (collect + one PUT): see
+        # append_lineage_rows for why a Spark write job here would be a
+        # per-batch serial barrier the scaling ratio pays for.
+        append_lineage_rows(footers, out_dir)
         print(f"[encode] batch {b}: {time.time() - t_b0:.1f}s "
               f"({len(batch_ids)} parts)", file=sys.stderr)
         ran += 1
@@ -884,6 +965,5 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
         _encode_kernel(out_dir, cfg, attempt,
                        _kernel_name_fmt(cfg, attempt, out_dir)),
         FOOTER_DDL)
-    storage.spark_write_parquet(footers, lineage_dir(out_dir),
-                                mode="append")
+    append_lineage_rows(footers, out_dir)
     return read_lineage(spark, out_dir, latest=True)

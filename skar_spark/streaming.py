@@ -174,10 +174,11 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                            name_fmt=f"part-e{int(epoch_id)}-{{pid:09d}}"
                                     ".skar"),
             FOOTER_DDL)
-        # sorted append: see encode_documents — keeps lineage row-group
-        # stats usable as a seek index over the index
-        (footers.repartition(1).sortWithinPartitions("min_warc_ts")
-         .write.mode("append").parquet(lineage_dir(out_dir)))
+        # sorted append, committed driver-side (metadata rows — see
+        # encode.append_lineage_rows): keeps lineage row-group stats
+        # usable as a seek index and avoids a per-epoch Spark write job
+        from skar_spark.engine.encode import append_lineage_rows
+        append_lineage_rows(footers, out_dir)
 
     def process_batch(bdf: DataFrame, epoch_id: int) -> None:
         t_batch0 = time.time()
