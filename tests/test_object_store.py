@@ -120,3 +120,35 @@ def test_ann_stage_on_mock_root(spark, monkeypatch):
         shutil.rmtree(os.path.join(storage.MOCK_BACKING_ROOT, name),
                       ignore_errors=True)
     assert staged == base
+
+
+def test_mock_datasource_and_query_handler(spark, mock_table):
+    """Wider seam coverage: the Python DataSource (planning runs in a
+    SEPARATE worker process — it must resolve the same mock backing
+    root) and the JSON query handler both serve a mock:// table."""
+    from pyspark.sql import functions as F
+
+    from skar_spark.query import run_query
+    from skar_spark.sources import register
+
+    docs = synth_documents(spark, 1_500, partitions=4)
+    encode_documents(spark, docs, mock_table, CFG, n_rows=1_500)
+    want = _content(docs)
+
+    register(spark)
+    df = spark.read.format("skar").load(mock_table)
+    assert {(r.url, r.text)
+            for r in df.select("url", "text").collect()} == want
+
+    # pushdown point read through the DataSource
+    host = df.select("host").first()["host"]
+    hits = df.filter(F.col("host") == host).select("url").collect()
+    assert hits
+    assert all(r.url.split("://")[1].split("/")[0] == host for r in hits)
+
+    # reference-shaped JSON query (pruning + paging machinery)
+    res = run_query(spark, mock_table, {
+        "selections": [{"hosts": [host]}],
+        "field_selection": ["url"],
+    })
+    assert {(r["url"],) for r in res["rows"]} == {(r.url,) for r in hits}
