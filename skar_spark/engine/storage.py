@@ -157,18 +157,33 @@ def list_prefix(path: str) -> list[str]:
         return []
 
 
+# localize_dir memo: prefix → (listing fingerprint, cache dir),
+# invalidated when the object listing or sizes change. Repeated
+# lineage reads stop re-downloading; superseded dirs are NOT deleted —
+# a lazy DataFrame returned earlier may still reference one — so
+# growth is bounded by listing CHANGES (one dir per committed batch),
+# not by read count.
+_LOCALIZE_CACHE: dict[str, tuple[tuple, str]] = {}
+
+
 def localize_dir(path: str) -> str:
     """A local directory with this prefix's objects, for pyarrow/Spark
     readers. Posix roots pass through; object-store prefixes are
-    fetched object-by-object into a temp cache (metadata tables only —
-    bounded by #partitions; the cache lives until process exit)."""
+    fetched object-by-object into a memoized temp cache (metadata
+    tables only — bounded by #partitions)."""
     if is_posix(path):
         return path
+    keys = list_prefix(path)
+    fp = tuple((k, getsize(k)) for k in keys)
+    ent = _LOCALIZE_CACHE.get(path)
+    if ent is not None and ent[0] == fp and os.path.isdir(ent[1]):
+        return ent[1]
     d = tempfile.mkdtemp(prefix="skar_fetch_")
-    for key in list_prefix(path):
+    for key in keys:
         name = key.rsplit("/", 1)[1]
         with open(os.path.join(d, name), "wb") as f:
             f.write(get_bytes(key))
+    _LOCALIZE_CACHE[path] = (fp, d)
     return d
 
 

@@ -101,3 +101,23 @@ def test_encode_plan_single_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges <= 2  # groupBy partial+final counts once under AQE
     assert "BroadcastExchange" in plan
+
+
+def test_kmv_plan_takeordered_no_global_sort(spark):
+    """The KMV sketch's bottom-k must be TakeOrdered (per-partition
+    top-k + driver merge of k longs) with a map-side partial distinct —
+    never a global Sort — and the scan must read ONLY the text column."""
+    df = entrymod.queries()["kmv_distinct"](spark, SF)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "\n   Sort " not in plan and "GlobalSort" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read and "doc_id" not in read
+
+
+def test_sample_hash_is_scan_plus_filter(spark):
+    """Deterministic sampling must stay a single-stage scan + filter:
+    no exchange of any kind (embarrassingly parallel at any scale)."""
+    df = entrymod.queries()["sample_hash"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
