@@ -345,20 +345,24 @@ WHERE doc_id NOT IN (SELECT b FROM ({sql_ngram_jaccard(n)}) pairs)
 # CLUSTER (and to audit cluster size distributions). cluster id = min
 # doc_id reachable in the verified near-dup graph.
 #
-# Spark shape: iterative min-label propagation over the symmetrized
-# edge list — per round one equi-join + a map-side-combinable min-agg;
-# converges in ≤ diameter(G) rounds (near-dup components are shallow —
-# chains of noisy copies), detected by a changed-count of 0. Each
-# round's labels are localCheckpoint'ed: truncates the growing lazy
-# plan AND keeps the loop's work from re-running q_ngram_jaccard once
-# per round (labels/edges are materialized executor-side; O(n) longs).
-# The same loop at 10^12 docs is the standard large-graph CC shape
-# (label propagation / hash-min), bounded by rounds × one shuffle.
+# Spark shape: iterative hash-min label propagation WITH pointer
+# jumping over the symmetrized edge list — per round, a node takes the
+# min of (its label, its neighbors' labels, its LABEL's label). The
+# neighbor step alone converges in diameter(G) rounds; the jump step
+# (labels join labels on lbl = other.id — the classic pointer-jumping
+# contraction) doubles the reach per round, so convergence is
+# O(log diameter): a 10^6-long drift chain needs ~20 rounds, not 10^6.
+# Convergence is detected by a changed-count of 0. Each round's labels
+# are localCheckpoint'ed: truncates the growing lazy plan AND keeps the
+# loop from re-running q_ngram_jaccard per round (labels/edges are
+# materialized executor-side; O(n) longs). Per round: two equi-joins +
+# one map-side-combinable min-agg — the standard large-graph CC shape
+# at any scale.
 
 _CC_MAX_ITERS = 25
 
 
-def q_dedup_clusters(spark, sf):
+def q_dedup_clusters(spark, sf, _stats: dict | None = None):
     pairs = q_ngram_jaccard(spark, sf).select("a", "b")
     edges = (pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -367,25 +371,35 @@ def q_dedup_clusters(spark, sf):
               .select(F.col("doc_id").alias("id"))
               .withColumn("lbl", F.col("id"))
               .localCheckpoint(eager=True))
-    for _ in range(_CC_MAX_ITERS):  # ≤ graph DIAMETER rounds (metadata)
+    for _ in range(_CC_MAX_ITERS):  # O(log diameter) rounds (metadata)
         nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
                .select(F.col("a").alias("id"), "lbl"))
         prop = nbr.groupBy("id").agg(F.min("lbl").alias("nlbl"))
+        # pointer jump: my label's CURRENT label (lbl is always a node
+        # id — the min only ever moves down to another node's id)
+        jump = (labels.join(
+            labels.select(F.col("id").alias("lbl"),
+                          F.col("lbl").alias("jlbl")), "lbl")
+            .select("id", "jlbl"))
         new = (labels.withColumnRenamed("lbl", "old")
                .join(prop, "id", "left")
+               .join(jump, "id", "left")
                .select("id", F.least(
                    F.col("old"),
-                   F.coalesce(F.col("nlbl"), F.col("old"))).alias("lbl"),
+                   F.coalesce(F.col("nlbl"), F.col("old")),
+                   F.coalesce(F.col("jlbl"), F.col("old"))).alias("lbl"),
                    F.col("old"))
                .localCheckpoint(eager=True))
         changed = new.filter(F.col("lbl") != F.col("old")).count()
         labels = new.drop("old")
+        if _stats is not None:
+            _stats["rounds"] = _stats.get("rounds", 0) + 1
         if changed == 0:
             return labels.select(F.col("id").alias("doc_id"),
                                  F.col("lbl").alias("cluster"))
     raise RuntimeError(
         f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds — "
-        "component diameter exceeds the cap; raise _CC_MAX_ITERS")
+        "component diameter exceeds 2^{_CC_MAX_ITERS}; raise the cap")
 
 
 def sql_dedup_clusters(n: int | None = None) -> str:

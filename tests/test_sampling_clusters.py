@@ -118,3 +118,58 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
     if (0, 2) not in pair_set:                        # truly transitive
         assert (0, 1) in pair_set and (1, 2) in pair_set
     assert all(clusters[i] == i for i in range(3, 10))  # singletons
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark, tmp_path):
+    """A 60-doc drift-chain corpus: the component has a LONG diameter
+    (links only between near neighbors), so plain neighbor propagation
+    would need ~diameter rounds — the pointer-jumping step must
+    converge in O(log diameter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 60
+    words = [f"w{i:03d}" for i in range(n + 14)]
+    texts = [" ".join(words[i: i + 14]) for i in range(n)]  # shift-1
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["t"] * n),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+
+    pairs = [(r.a, r.b)
+             for r in q_ngram_jaccard(spark, str(tmp_path)).collect()]
+    # the graph is a BAND: only near neighbors link, so component
+    # diameter >= (span of the largest component) / max link distance
+    max_link = max(abs(a - b) for a, b in pairs)
+    assert max_link <= 12
+
+    parent = {d: d for d in range(n)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for d in range(n):
+        comp.setdefault(find(d), []).append(d)
+    want = {d: min(m) for m in comp.values() for d in m}
+    big = max(comp.values(), key=len)
+    diameter_lb = (max(big) - min(big)) // max_link
+    assert len(big) >= 40 and diameter_lb >= 4
+
+    stats = {}
+    clusters = {r.doc_id: r.cluster for r in q_dedup_clusters(
+        spark, str(tmp_path), _stats=stats).collect()}
+    assert clusters == want
+    # pointer jumping: rounds ~ log2(diameter) + settle, far below the
+    # diameter plain propagation would need
+    assert stats["rounds"] <= max(6, diameter_lb), (stats, diameter_lb)
