@@ -198,6 +198,10 @@ def main() -> None:
         "dedup_exact", "token_count", "quality_score", "doc_fingerprint",
         "minhash", "simhash", "lsh_pairs", "ngram_jaccard",
         "cosine_topk", "ann_lsh", "ann_ivf", "dedup_near", "embed_dedup",
+        # r5 additions: sampling/sketch projections + transitive
+        # clustering (iterative — several small jobs by design)
+        "sample_hash", "sample_stratified", "kmv_distinct",
+        "dedup_clusters",
     ]
     # untimed warm-up: parquet reader + HOF codegen paths otherwise land
     # entirely in whichever query runs first
