@@ -139,3 +139,50 @@ def test_ivf_zero_norm_assigned_smallest_cid(spark, tmp_path):
     assert got[33] == min(cids)
     assert set(got.values()) <= cids
     assert len(got) == len(V)
+
+
+# -- r5 driver-side lineage commit: schema/edge-case roundtrip ---------
+
+def test_append_lineage_rows_roundtrip_with_nulls(spark, tmp_path):
+    """The driver-side lineage commit must write rows Spark reads back
+    exactly — including NULL timestamps (empty partitions), NULL bloom
+    blobs, and tz-aware values — and keep the dir readable alongside
+    further appends."""
+    import datetime as dt
+
+    from skar_spark.engine.encode import (
+        FOOTER_DDL,
+        append_lineage_rows,
+        read_lineage,
+    )
+
+    out = str(tmp_path / "out")
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, "a1", "committed", 10, "{}", 100, 50, ts,
+         ts + dt.timedelta(hours=1), 2, 1, bytearray(b"\x01\x02"),
+         None, bytearray(b"\x03"), 0.1, 0.2, 0.3, "parts/p1", 111.5),
+        (2, "a1", "committed", 0, "{}", 0, 0, None, None, 0, 0,
+         None, None, None, 0.0, 0.0, 0.0, "parts/p2", 112.5),
+    ]
+    footers = spark.createDataFrame(rows, FOOTER_DDL)
+    assert append_lineage_rows(footers, out) == 2
+    # second append (separate object) must coexist
+    assert append_lineage_rows(
+        footers.filter("partition_id = 1"), out) == 1
+
+    lin = read_lineage(spark, out)
+    got = {(r.partition_id, r.row_count, r.min_warc_ts,
+            bytes(r.host_bloom) if r.host_bloom is not None else None,
+            r.committed_at, r.file)
+           for r in lin.collect()}
+    assert (2, 0, None, None, 112.5, "parts/p2") in got
+    assert len(got) == 2          # pid 1 rows identical across appends
+    assert lin.count() == 3       # but both appends present
+    one = lin.filter("partition_id = 1").first()
+    assert one.min_warc_ts.replace(tzinfo=None) == ts
+    assert bytes(one.text_checksum) == b"\x03"
+
+    # empty commit is a no-op (no empty parquet object written)
+    assert append_lineage_rows(footers.filter("1=0"), out) == 0
+    assert lin.count() == 3
