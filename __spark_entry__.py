@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from skar_spark import pipeline
-    from skar_spark.ops import (dedup, engine_queries, multimodal,
+    from skar_spark.ops import (corpus, dedup, engine_queries, multimodal,
                                 relational, sampling, textops)
     return {
         # relational operator surface (SURVEY §2.2-2.6)
@@ -81,6 +81,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": sampling.q_sample_hash,
         "sample_stratified": sampling.q_sample_stratified,
         "kmv_distinct": sampling.q_kmv_distinct,
+        # corpus-construction ops (r5): decontamination, packing,
+        # domain stats, repetition stats, histogram quantiles,
+        # leakage-safe split, exact heavy hitters
+        "decontam": corpus.q_decontam,
+        "seq_pack": corpus.q_seq_pack,
+        "domain_stats": corpus.q_domain_stats,
+        "rep_stats": corpus.q_rep_stats,
+        "hist_quantile": corpus.q_hist_quantile,
+        "split_assign": corpus.q_split_assign,
+        "heavy_hitters": corpus.q_heavy_hitters,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -96,7 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from skar_spark import pipeline
-    from skar_spark.ops import (dedup, engine_queries, multimodal,
+    from skar_spark.ops import (corpus, dedup, engine_queries, multimodal,
                                 relational, sampling, textops)
     return {
         "range_filter": relational.SQL_RANGE_FILTER,
@@ -149,6 +159,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": sampling.SQL_SAMPLE_HASH,
         "sample_stratified": sampling.SQL_SAMPLE_STRATIFIED,
         "kmv_distinct": sampling.SQL_KMV_DISTINCT,
+        "decontam": corpus.SQL_DECONTAM,
+        "seq_pack": corpus.SQL_SEQ_PACK,
+        "domain_stats": corpus.SQL_DOMAIN_STATS,
+        "rep_stats": corpus.SQL_REP_STATS,
+        "hist_quantile": corpus.SQL_HIST_QUANTILE,
+        "split_assign": corpus.SQL_SPLIT_ASSIGN,
+        "heavy_hitters": corpus.SQL_HEAVY_HITTERS,
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

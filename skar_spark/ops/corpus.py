@@ -1,0 +1,303 @@
+"""Corpus-construction operators over the `documents` table (round 5).
+
+The second half of the LLM training-data toolkit, beyond dedup/quality
+(textops/dedup/sampling): the ops that turn a filtered corpus into an
+actual training set. No reference analog (skar serves log queries); the
+surface follows what public corpus pipelines (C4 / Gopher / Dolma-style)
+run at scale. Everything is pure Spark built-ins with a DuckDB oracle,
+using the portable md5-60bit hash (textops.h60) where hashing is needed.
+
+- **decontamination** (`q_decontam`): flag training documents that share
+  any token 5-gram with a held-out evaluation set. Scale shape: the eval
+  set is benchmark-sized (≪ corpus), so its distinct-gram table is
+  BROADCAST; the corpus side is a single projection + explode + broadcast
+  hash join + partial-agg count — no corpus-sized shuffle at all. The
+  corpus grams are `array_distinct`-ed per document BEFORE the explode so
+  the join input (and the hit count semantics: distinct grams shared) is
+  bounded by document length, not n-gram multiplicity.
+- **sequence packing** (`q_seq_pack`): assign every document its
+  (sequence index, token offset) under GPT-style concat-then-split
+  packing with a fixed token budget per sequence, deterministically
+  ordered by doc_id within each `lang` partition. One window per
+  stratum — the cumulative sum parallelizes across strata, which is how
+  a 100 TB pack runs (per-shard packing; sequences never cross shards).
+- **domain statistics** (`q_domain_stats`): per-source doc counts, token
+  mass, mean length, language spread — the crawl-health dashboard query.
+  Single map-side-combinable aggregate on a low-cardinality key.
+- **repetition stats** (`q_rep_stats`): Gopher-style within-document
+  repetition signals (duplicate-token fraction, duplicate-2-gram
+  fraction) as a pure projection — array ops per row, no shuffle.
+- **histogram quantile** (`q_hist_quantile`): corpus length quantiles
+  from a fixed-width histogram — the deterministic (hence oracle-able)
+  stand-in for a mergeable quantile sketch. The groupBy collapses the
+  corpus to ≤ a few hundred bin rows; the window over bins is
+  driver-trivial. At 100 TB the bin table is still tiny: this is the
+  right shape (partial agg → reduce), unlike a global sort-percentile.
+- **leakage-safe split** (`q_split_assign`): train/val/test assignment
+  hashed at SOURCE granularity (every doc of a source lands in the same
+  split — the standard guard against near-dup leakage across splits).
+- **heavy hitters** (`q_heavy_hitters`): exact global top-20 tokens by
+  frequency — explode + map-side-combinable count + TakeOrdered(20)
+  (per-partition top-k, driver merges k rows; no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from skar_spark.ops.relational import load
+from skar_spark.ops.textops import h60, sql_h60
+
+# decontamination: eval membership + n-gram order. Real pipelines use
+# 8-13-gram overlap; the synthetic corpus' docs are ~30-90 tokens from a
+# small vocabulary, so trigrams give the same statistical shape (a few %
+# of train docs flagged) at test scale.
+_EVAL_MOD = 41          # doc_id % 41 == 0 → held-out eval doc
+_DECON_N = 3            # token n-gram order
+# sequence packing
+_SEQ_BUDGET = 512       # tokens per packed training sequence
+# histogram quantile
+_HIST_BIN = 64          # n_chars bin width
+_HIST_QS = (0.5, 0.9, 0.99)
+# heavy hitters
+_TOPK_TOKENS = 20
+
+
+def _toks(col="text"):
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _n_tokens(col="text"):
+    """0 for blank text (split('') yields [''] in both engines)."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)) \
+            .otherwise(F.size(_toks(col)))
+
+
+_SQL_N_TOKENS = (r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+                 r"ELSE array_length(regexp_split_to_array(trim(text), "
+                 r"'\s+')) END")
+
+
+def _ngrams(tokens, n: int):
+    """Token n-grams joined by single spaces; empty array below n."""
+    sz = F.size(tokens)
+    return F.when(sz >= n, F.transform(
+        F.sequence(F.lit(1), sz - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- decontamination ----------------------------------------------------------
+
+def _doc_grams(spark, sf):
+    d = load(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(_toks(), _DECON_N))).alias("gram"))
+
+
+def q_decontam(spark, sf):
+    """Training docs sharing ≥1 token _DECON_N-gram with the eval split
+    (doc_id % _EVAL_MOD == 0), with the distinct-gram hit count."""
+    g = _doc_grams(spark, sf)
+    ev = (g.filter(F.col("doc_id") % _EVAL_MOD == 0)
+           .select("gram").distinct())
+    return (g.filter(F.col("doc_id") % _EVAL_MOD != 0)
+            .join(F.broadcast(ev), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hit_grams")))
+
+
+SQL_DECONTAM = rf"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           [array_to_string(t[i:i+{_DECON_N - 1}], ' ')
+            for i in range(1, len(t) - {_DECON_N - 2})])) AS gram
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) s
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % {_EVAL_MOD} = 0)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % {_EVAL_MOD} <> 0
+GROUP BY g.doc_id
+"""
+
+# --- sequence packing ---------------------------------------------------------
+
+def q_seq_pack(spark, sf):
+    """(seq_index, tok_offset) per document under concat-then-split
+    packing at _SEQ_BUDGET tokens, packed per `lang` in doc_id order."""
+    d = load(spark, sf, "documents")
+    w = (Window.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = F.coalesce(F.sum(_n_tokens()).over(w), F.lit(0)).cast("long")
+    out = d.select("doc_id", "lang", _n_tokens().alias("n_tokens"),
+                   cum.alias("cum_before"))
+    return out.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(F.col("cum_before") / F.lit(_SEQ_BUDGET)).alias("seq_index"),
+        (F.col("cum_before") % _SEQ_BUDGET).alias("tok_offset"))
+
+
+SQL_SEQ_PACK = f"""
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(cum_before / {_SEQ_BUDGET}) AS BIGINT) AS seq_index,
+       cum_before % {_SEQ_BUDGET} AS tok_offset
+FROM (
+  SELECT doc_id, lang, {_SQL_N_TOKENS} AS n_tokens,
+         CAST(coalesce(sum({_SQL_N_TOKENS}) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM documents) t
+"""
+
+# --- per-domain statistics ----------------------------------------------------
+
+def q_domain_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    return (d.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(_n_tokens()).cast("long").alias("total_tokens"),
+                 (F.sum("n_chars").cast("double")
+                  / F.count("*")).alias("avg_chars"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+SQL_DOMAIN_STATS = f"""
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_SQL_N_TOKENS}) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source
+"""
+
+# --- within-document repetition stats (Gopher-style) --------------------------
+
+def q_rep_stats(spark, sf):
+    d = load(spark, sf, "documents")
+    toks = _toks()
+    n = _n_tokens()
+    nd = F.when(n == 0, F.lit(0)) \
+          .otherwise(F.size(F.array_distinct(toks)))
+    g2 = _ngrams(toks, 2)
+    n2 = F.size(g2)
+    nd2 = F.size(F.array_distinct(g2))
+    frac = lambda tot, dis: F.when(
+        tot > 0, (tot - dis).cast("double") / tot).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id", n.alias("n_tokens"), nd.alias("n_distinct_tokens"),
+        frac(n, nd).alias("dup_token_frac"),
+        n2.alias("n_2grams"), nd2.alias("n_distinct_2grams"),
+        frac(n2, nd2).alias("dup_2gram_frac"))
+
+
+SQL_REP_STATS = rf"""
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0 ELSE len(list_distinct(t)) END
+           AS n_distinct_tokens,
+       CASE WHEN n_tokens > 0 THEN
+         CAST(n_tokens - (CASE WHEN n_tokens = 0 THEN 0
+                          ELSE len(list_distinct(t)) END) AS DOUBLE)
+         / n_tokens ELSE 0.0 END AS dup_token_frac,
+       len(g2) AS n_2grams, len(list_distinct(g2)) AS n_distinct_2grams,
+       CASE WHEN len(g2) > 0 THEN
+         CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2)
+       ELSE 0.0 END AS dup_2gram_frac
+FROM (
+  SELECT doc_id, {_SQL_N_TOKENS} AS n_tokens, t,
+         [array_to_string(t[i:i+1], ' ') for i in range(1, len(t))] AS g2
+  FROM (SELECT doc_id, text, {_SQL_TOKS} AS t FROM documents) s) u
+"""
+
+# --- histogram-based quantiles ------------------------------------------------
+
+def q_hist_quantile(spark, sf):
+    """Length quantiles from a fixed-width histogram of n_chars.
+
+    The only corpus-sized stage is the bin groupBy (map-side combine →
+    ≤ a few hundred rows); the windows below it run over the tiny bin
+    table, so the single-partition window frame is deliberate."""
+    d = load(spark, sf, "documents")
+    bins = (d.groupBy(F.floor(F.col("n_chars") / F.lit(_HIST_BIN))
+                      .alias("bin"))
+            .agg(F.count("*").alias("cnt")))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = bins.select(
+        "bin",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("tot"))
+    qs = spark.createDataFrame([(q,) for q in _HIST_QS], "q double")
+    return (qs.join(c, c["cum"] >= F.ceil(qs["q"] * c["tot"]))
+            .groupBy("q").agg(F.min("bin").alias("bin"))
+            .select("q", "bin",
+                    (F.col("bin") * _HIST_BIN).alias("bin_lo")))
+
+
+SQL_HIST_QUANTILE = f"""
+WITH bins AS (
+  SELECT CAST(floor(n_chars / {_HIST_BIN}) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1),
+c AS (
+  SELECT bin,
+         CAST(sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER () AS BIGINT) AS tot
+  FROM bins),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+SELECT q, min(bin) AS bin, min(bin) * {_HIST_BIN} AS bin_lo
+FROM qs JOIN c ON c.cum >= ceil(q * c.tot)
+GROUP BY q
+"""
+
+# --- leakage-safe train/val/test split ----------------------------------------
+
+def q_split_assign(spark, sf):
+    """Split assignment hashed at source granularity: bucket 0-7 train,
+    8 val, 9 test — no source (hence no near-dup family) crosses
+    splits."""
+    d = load(spark, sf, "documents")
+    agg = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    b = F.pmod(h60(F.concat(F.lit("split#"), F.col("source"))), F.lit(10))
+    split = (F.when(b < 8, "train").when(b == 8, "val").otherwise("test"))
+    return agg.select("source", b.alias("bucket"), split.alias("split"),
+                      "n_docs")
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT source,
+       {sql_h60("concat('split#', source)")} % 10 AS bucket,
+       CASE WHEN {sql_h60("concat('split#', source)")} % 10 < 8 THEN 'train'
+            WHEN {sql_h60("concat('split#', source)")} % 10 = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY source
+"""
+
+# --- exact heavy hitters ------------------------------------------------------
+
+def q_heavy_hitters(spark, sf):
+    """Exact global top-_TOPK_TOKENS tokens; ties broken by token text
+    so the result is a deterministic set."""
+    d = load(spark, sf, "documents")
+    t = (d.select(F.explode(_toks()).alias("token"))
+         .filter(F.col("token") != "")
+         .groupBy("token").agg(F.count("*").alias("cnt")))
+    return t.orderBy(F.desc("cnt"), F.asc("token")).limit(_TOPK_TOKENS)
+
+
+SQL_HEAVY_HITTERS = rf"""
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT {_TOPK_TOKENS}
+"""

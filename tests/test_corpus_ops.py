@@ -1,0 +1,83 @@
+"""Corpus-construction ops (ops/corpus.py): plan-shape assertions plus
+semantic invariants the oracle hash can't see on synthetic data.
+
+Correctness vs DuckDB is covered by the parametrized
+test_queries_oracle.py; here we pin the SCALE-relevant plan shapes:
+
+- decontam: the eval-gram side broadcasts (no corpus-sized shuffle join);
+- rep_stats: pure projection — zero exchanges;
+- heavy_hitters: partial (map-side) aggregate + TakeOrdered, no global
+  Sort node;
+- seq_pack: exactly one exchange (the per-lang window partitioning);
+- split_assign: every source maps to exactly one split, and packing
+  never skips sequence slots.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from skar_spark.ops import corpus
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_decontam_broadcasts_eval_grams(spark):
+    plan = _plan(corpus.q_decontam(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_rep_stats_no_exchange(spark):
+    plan = _plan(corpus.q_rep_stats(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_heavy_hitters_takeordered(spark):
+    plan = _plan(corpus.q_heavy_hitters(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the count must partial-aggregate before its shuffle
+    assert "partial_count" in plan
+
+
+def test_seq_pack_single_window_exchange(spark):
+    plan = _plan(corpus.q_seq_pack(spark, SF))
+    # formatted explain names each node twice (tree + detail); count the
+    # detail headers, which ReusedExchange does not match
+    assert plan.count(") Exchange") <= 1
+    assert "Window" in plan
+
+
+def test_split_assign_is_leakage_safe(spark):
+    rows = corpus.q_split_assign(spark, SF).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values())
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
+def test_seq_pack_offsets_are_contiguous(spark):
+    """Concat semantics: within each lang, cum token position advances
+    by exactly n_tokens per doc and seq_index*budget + tok_offset
+    reconstructs it."""
+    rows = corpus.q_seq_pack(spark, SF).collect()
+    per_lang = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["doc_id"])):
+        pos = per_lang.get(r["lang"], 0)
+        assert r["seq_index"] * corpus._SEQ_BUDGET + r["tok_offset"] == pos
+        per_lang[r["lang"]] = pos + r["n_tokens"]
+
+
+def test_decontam_excludes_eval_docs(spark):
+    rows = corpus.q_decontam(spark, SF).collect()
+    assert rows, "expected some contamination on the synthetic corpus"
+    assert all(r["doc_id"] % corpus._EVAL_MOD != 0 for r in rows)
+    assert all(r["n_hit_grams"] >= 1 for r in rows)
