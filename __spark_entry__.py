@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": sampling.q_sample_hash,
         "sample_stratified": sampling.q_sample_stratified,
         "kmv_distinct": sampling.q_kmv_distinct,
+        "kmv_overlap": sampling.q_kmv_overlap,
         # corpus-construction ops (r5): decontamination, packing,
         # domain stats, repetition stats, histogram quantiles,
         # leakage-safe split, exact heavy hitters
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": sampling.SQL_SAMPLE_HASH,
         "sample_stratified": sampling.SQL_SAMPLE_STRATIFIED,
         "kmv_distinct": sampling.SQL_KMV_DISTINCT,
+        "kmv_overlap": sampling.sql_kmv_overlap(),
         "decontam": corpus.SQL_DECONTAM,
         "seq_pack": corpus.SQL_SEQ_PACK,
         "domain_stats": corpus.SQL_DOMAIN_STATS,

@@ -202,6 +202,9 @@ def main() -> None:
         # clustering (iterative — several small jobs by design)
         "sample_hash", "sample_stratified", "kmv_distinct",
         "dedup_clusters",
+        # r5 corpus-construction ops (broadcast decontam join, per-lang
+        # packing window, explode+TakeOrdered heavy hitters)
+        "decontam", "seq_pack", "heavy_hitters",
     ]
     # untimed warm-up: parquet reader + HOF codegen paths otherwise land
     # entirely in whichever query runs first

@@ -114,3 +114,94 @@ FROM (
     SELECT DISTINCT {sql_h60('text')} AS h FROM documents
     ORDER BY h ASC LIMIT {_KMV_K}) b) t
 """
+
+
+# --- KMV set algebra: corpus-overlap estimation --------------------------------
+#
+# The property that makes KMV the right sketch at 100 TB is MERGEABILITY:
+# bottom-k sketches built independently per corpus shard combine into the
+# union sketch by re-taking the bottom-k of their concatenation, and the
+# Jaccard of two sets is estimated from sketches alone as
+# |A_sk ∩ B_sk ∩ U_sk| / |U_sk|.  This op demonstrates the full algebra
+# on the two doc_id parities of `documents`, sketching their DISTINCT
+# TOKEN-TRIGRAM sets (the standard corpus-overlap basis — whole-document
+# hashes rarely collide across independently-crawled shards, n-grams do).
+# Every stage is bottom-k of a portable hash, so the result — including
+# all four floating-point estimates — hash-verifies against DuckDB.
+
+_OVL_N = 3  # token n-gram order for the overlap basis
+
+
+def _gram_hashes(spark, sf):
+    from skar_spark.ops.corpus import _ngrams, _toks
+    d = load(spark, sf, "documents")
+    return (d.select((F.col("doc_id") % 2).alias("side"),
+                     F.explode(F.array_distinct(
+                         _ngrams(_toks(), _OVL_N))).alias("gram"))
+            .select("side", h60(F.col("gram")).alias("h"))
+            .distinct())
+
+
+def q_kmv_overlap(spark, sf):
+    """KMV union/intersection/Jaccard estimates between the distinct
+    trigram sets of the two doc_id parities.
+
+    Scale shape: one distinct over (side, gram-hash) with map-side
+    combine, then three TakeOrdered bottom-k sketches; all joins below
+    run on ≤ _KMV_K-row frames (broadcast)."""
+    g = _gram_hashes(spark, sf)
+    a = g.filter(F.col("side") == 0).select("h").orderBy("h").limit(_KMV_K)
+    b = g.filter(F.col("side") == 1).select("h").orderBy("h").limit(_KMV_K)
+    u = a.union(b).distinct().orderBy("h").limit(_KMV_K)
+
+    two60 = F.lit(float(1 << 60))
+
+    def est(df, kname, hkname, ename):
+        agg = df.agg(F.max("h").alias(hkname),
+                     F.count("*").cast("long").alias(kname))
+        return agg.select(
+            kname, hkname,
+            ((F.col(kname) - 1).cast("double") * two60
+             / F.col(hkname).cast("double")).alias(ename))
+
+    ea = est(a, "k_a", "hk_a", "est_a").select("est_a")
+    eb = est(b, "k_b", "hk_b", "est_b").select("est_b")
+    eu = est(u, "k_u", "hk_u", "est_union")
+    common = (u.join(a, "h").join(b, "h")
+              .agg(F.count("*").cast("long").alias("n_common")))
+    out = eu.crossJoin(ea).crossJoin(eb).crossJoin(common)
+    jac = F.col("n_common").cast("double") / F.col("k_u").cast("double")
+    return out.select(
+        "k_u", "hk_u", "est_a", "est_b", "est_union", "n_common",
+        jac.alias("jaccard"),
+        (jac * F.col("est_union")).alias("est_intersect"))
+
+
+def sql_kmv_overlap() -> str:
+    from skar_spark.ops.corpus import _SQL_TOKS
+    grams = (f"[array_to_string(t[i:i+{_OVL_N - 1}], ' ') "
+             f"for i in range(1, len(t) - {_OVL_N - 2})]")
+    return f"""
+WITH g AS (
+  SELECT DISTINCT side, {sql_h60('gram')} AS h FROM (
+    SELECT doc_id % 2 AS side, unnest(list_distinct({grams})) AS gram
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) s) e),
+a AS (SELECT h FROM g WHERE side = 0 ORDER BY h LIMIT {_KMV_K}),
+b AS (SELECT h FROM g WHERE side = 1 ORDER BY h LIMIT {_KMV_K}),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b) x
+      ORDER BY h LIMIT {_KMV_K}),
+ea AS (SELECT CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+              / CAST(max(h) AS DOUBLE) AS est_a FROM a),
+eb AS (SELECT CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+              / CAST(max(h) AS DOUBLE) AS est_b FROM b),
+eu AS (SELECT CAST(count(*) AS BIGINT) AS k_u, max(h) AS hk_u,
+              CAST(count(*) - 1 AS DOUBLE) * 1152921504606846976.0
+              / CAST(max(h) AS DOUBLE) AS est_union FROM u),
+com AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+        FROM u JOIN a USING (h) JOIN b USING (h))
+SELECT k_u, hk_u, est_a, est_b, est_union, n_common,
+       CAST(n_common AS DOUBLE) / CAST(k_u AS DOUBLE) AS jaccard,
+       CAST(n_common AS DOUBLE) / CAST(k_u AS DOUBLE) * est_union
+           AS est_intersect
+FROM eu, ea, eb, com
+"""

@@ -52,6 +52,23 @@ def test_kmv_estimate_close_to_exact(spark):
     assert abs(row.est - exact) / exact < 0.25, (row.est, exact)
 
 
+def test_kmv_overlap_estimates_close_to_exact(spark):
+    """The sketch-algebra estimates must track the true trigram-set
+    union/intersection sizes (k=256 → stderr ≈ 6.3%; allow 4x)."""
+    from skar_spark.ops.sampling import _gram_hashes, q_kmv_overlap
+    row = q_kmv_overlap(spark, SF01).collect()[0]
+    g = _gram_hashes(spark, SF01)
+    exact_u = g.select("h").distinct().count()
+    exact_i = (g.groupBy("h").agg(F.countDistinct("side").alias("ns"))
+               .filter(F.col("ns") == 2).count())
+    assert abs(row.est_union - exact_u) / exact_u < 0.25, (
+        row.est_union, exact_u)
+    assert 0.0 < row.jaccard <= 1.0
+    assert exact_i > 0  # the parities genuinely share trigrams
+    assert abs(row.est_intersect - exact_i) / exact_i < 0.5, (
+        row.est_intersect, exact_i)
+
+
 def test_dedup_clusters_match_union_find(spark):
     """The distributed label propagation must produce exactly the
     connected components a driver-side union-find computes from the
