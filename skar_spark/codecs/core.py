@@ -8,6 +8,11 @@ BASELINE.json's input_hint; per-row Python is banned by construction):
     rle        run values + run lengths (lengths FOR+bitpacked)
     bitpack    frame-of-reference + exact bit packing
     for_delta  delta + frame-of-reference + bit packing (sorted/clustered)
+  float only:
+    bss        byte-stream split (Parquet-spec BYTE_STREAM_SPLIT): the
+               k-th byte of every value grouped into stream k, then zstd
+               — exponent/sign bytes compress far better separated from
+               mantissa noise. Bit-exact (a pure byte permutation).
   string / binary:
     plain      offsets (delta+bitpack) + data buffer (+zstd)
     fsst       sampled-symbol-table byte compression (see fsst.py)
@@ -33,9 +38,12 @@ from skar_spark.codecs import primitives as P
 from skar_spark.config import DEFAULT, EngineConfig
 
 INT_CODECS = ("plain", "rle", "bitpack", "for_delta")
-FLOAT_CODECS = ("plain", "rle")
+FLOAT_CODECS = ("plain", "rle", "bss")
 BOOL_CODECS = ("plain",)
 STR_CODECS = ("plain", "fsst", "dict")
+
+
+LIST_FLOAT_CODECS = ("plain", "bss")
 
 
 def codecs_for(tcode: str) -> tuple[str, ...]:
@@ -45,6 +53,8 @@ def codecs_for(tcode: str) -> tuple[str, ...]:
         return BOOL_CODECS
     if FR.is_float_code(tcode):
         return FLOAT_CODECS
+    if FR.is_list_float_code(tcode):
+        return LIST_FLOAT_CODECS
     return INT_CODECS
 
 
@@ -77,6 +87,8 @@ def _filled(arr: pa.Array) -> pa.Array:
         return pc.fill_null(arr, False)
     if pa.types.is_timestamp(t):
         return pc.fill_null(arr, pa.scalar(0, type=t))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pc.fill_null(arr, pa.scalar([], type=t))
     return pc.fill_null(arr, pa.scalar(0, type=t))
 
 
@@ -161,6 +173,33 @@ def _encode_payload(arr: pa.Array, tcode: str, codec: str,
             return meta, list(vsecs) + isecs
         raise ValueError(codec)
 
+    if FR.is_list_float_code(tcode):
+        # embedding-vector columns: offsets (delta+bitpack) + the flat
+        # float child either raw or byte-stream-split. Null ELEMENTS
+        # inside vectors have no meaningful canonical form — refuse
+        # loudly rather than silently rewrite data.
+        child = arr.flatten()
+        if child.null_count:
+            raise ValueError(
+                "list<float> column has null elements; clean them "
+                "upstream before encoding")
+        lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+        offs = np.zeros(len(arr) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        f, r, w, obuf = P.delta_encode(offs)
+        cdt = FR.numpy_dtype_for(tcode.split(":", 1)[1])
+        vals = P.numeric_values(child, cdt)
+        if codec == "plain":
+            vbuf = vals.tobytes()
+        elif codec == "bss":
+            vbuf = np.ascontiguousarray(
+                np.ascontiguousarray(vals).view(np.uint8)
+                .reshape(len(vals), cdt.itemsize).T).tobytes()
+        else:
+            raise ValueError(codec)
+        return {"o": [int(f), int(r), int(w)], "nv": len(vals)}, \
+            [vbuf, obuf]
+
     if tcode == "bool":
         mask = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=bool)
         return {}, [np.packbits(mask, bitorder="little").tobytes()]
@@ -177,6 +216,10 @@ def _encode_payload(arr: pa.Array, tcode: str, codec: str,
             ref, w, lbuf = P.for_encode(rl.astype(np.int64))
             return {"nr": len(rv), "l": [int(ref), int(w)]}, \
                 [rv.tobytes(), lbuf]
+        if codec == "bss":
+            streams = np.ascontiguousarray(vals).view(np.uint8) \
+                .reshape(len(vals), dt.itemsize).T
+            return {}, [np.ascontiguousarray(streams).tobytes()]
         raise ValueError(codec)
     return _enc_ints(vals.astype(np.int64, copy=False), codec)
 
@@ -206,6 +249,28 @@ def _decode_payload(header: dict, sections: list[bytes],
             return P.build_string(tcode, offs, data, validity, null_count)
         raise ValueError(codec)
 
+    if FR.is_list_float_code(tcode):
+        f, r, w = meta["o"]
+        nv = meta["nv"]
+        offs = P.delta_decode(f, r, w, sections[1], n + 1)
+        cdt = FR.numpy_dtype_for(tcode.split(":", 1)[1])
+        if codec == "plain":
+            vals = np.frombuffer(sections[0], cdt, count=nv)
+        elif codec == "bss":
+            streams = np.frombuffer(sections[0], np.uint8,
+                                    count=nv * cdt.itemsize)
+            vals = np.ascontiguousarray(
+                streams.reshape(cdt.itemsize, nv).T).view(cdt).ravel()
+        else:
+            raise ValueError(codec)
+        t = FR.type_from_code(tcode)
+        odt = np.int64 if tcode.startswith("llist:") else np.int32
+        return pa.Array.from_buffers(
+            t, n,
+            [validity, pa.py_buffer(offs.astype(odt).tobytes())],
+            null_count=null_count if validity is not None else 0,
+            children=[pa.array(vals, type=t.value_type)])
+
     if tcode == "bool":
         bits = np.unpackbits(np.frombuffer(sections[0], np.uint8), count=n,
                              bitorder="little").astype(bool)
@@ -218,6 +283,11 @@ def _decode_payload(header: dict, sections: list[bytes],
     if FR.is_float_code(tcode):
         if codec == "plain":
             vals = np.frombuffer(sections[0], dt, count=n)
+        elif codec == "bss":
+            streams = np.frombuffer(sections[0], np.uint8,
+                                    count=n * dt.itemsize)
+            vals = np.ascontiguousarray(
+                streams.reshape(dt.itemsize, n).T).view(dt).ravel()
         else:  # rle
             nr = meta["nr"]
             ivt = np.int32 if dt.itemsize == 4 else np.int64

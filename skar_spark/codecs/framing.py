@@ -47,6 +47,10 @@ def typecode(t: pa.DataType) -> str:
         return _FROM_TYPE[t]
     if pa.types.is_timestamp(t):
         return f"ts:{t.unit}:{t.tz or ''}"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and \
+            t.value_type in (pa.float32(), pa.float64()):
+        pre = "llist" if pa.types.is_large_list(t) else "list"
+        return f"{pre}:{_FROM_TYPE[t.value_type]}"
     raise TypeError(f"unsupported arrow type for encoding: {t}")
 
 
@@ -56,6 +60,10 @@ def type_from_code(code: str) -> pa.DataType:
     if code.startswith("ts:"):
         _, unit, tz = code.split(":", 2)
         return pa.timestamp(unit, tz or None)
+    if code.startswith("list:"):
+        return pa.list_(_SIMPLE[code[5:]])
+    if code.startswith("llist:"):
+        return pa.large_list(_SIMPLE[code[6:]])
     raise TypeError(f"unknown typecode {code}")
 
 
@@ -65,6 +73,11 @@ def is_string_code(code: str) -> bool:
 
 def is_float_code(code: str) -> bool:
     return code in ("f32", "f64")
+
+
+def is_list_float_code(code: str) -> bool:
+    """Embedding-vector columns: list<float32|float64>."""
+    return code.startswith(("list:", "llist:"))
 
 
 def numpy_dtype_for(code: str) -> np.dtype:

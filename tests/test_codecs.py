@@ -49,6 +49,19 @@ def _vectors():
                                 for i in range(1_000)]),
         "floats": pa.array(np.where(rng.random(2_000) < 0.3, 1.5, rng.random(2_000))),
         "float_nan": pa.array([float("nan"), 1.0, None, float("inf"), -0.0]),
+        # quantized decimals (few mantissa patterns) — the bss win case
+        "float_quantized": pa.array(
+            np.round(rng.integers(1, 200, 5_000) * 0.25, 2)),
+        "float32_col": pa.array(rng.random(3_000, np.float32),
+                                pa.float32()),
+        # embedding-vector columns (list<float>): nulls + empties + ragged
+        "embedding_f32": pa.array(
+            [None, []] + [list(map(float, rng.random(8, np.float32)))
+                          for _ in range(300)],
+            pa.list_(pa.float32())),
+        "embedding_f64_large": pa.array(
+            [[1.5, -2.5, 0.0], [], [3.25]] * 50,
+            pa.large_list(pa.float64())),
         "i32": pa.array(rng.integers(0, 1000, 1_000).astype(np.int32)),
         "i8": pa.array(rng.integers(-128, 128, 500).astype(np.int8)),
         "date": pa.array(rng.integers(0, 20_000, 500).astype(np.int32), pa.date32()),
@@ -131,3 +144,30 @@ def test_fsst_scatter_decode_path_bit_identical(monkeypatch):
         monkeypatch.setattr(FS, "DECODE_NUMPY_LEVEL_MIN", 1)
         assert FS.fsst_decompress(comp, tbl) == data
         monkeypatch.setattr(FS, "DECODE_NUMPY_LEVEL_MIN", 32)
+
+
+def test_list_float_null_elements_refused():
+    bad = pa.array([[1.0, None]], pa.list_(pa.float32()))
+    with pytest.raises(ValueError, match="null elements"):
+        encode_array(bad, "bss")
+
+
+def test_bss_selected_for_quantized_floats():
+    """The auto-selector must pick bss where byte-splitting genuinely
+    wins (few mantissa patterns, e.g. quantity-like decimals)."""
+    from skar_spark.codecs import encode_auto
+    arr = pa.array(np.round(rng.integers(1, 50, 20_000) * 0.25, 2))
+    codec, blob = encode_auto(arr)
+    assert codec == "bss"
+    plain = encode_array(arr, "plain")
+    assert len(blob) < len(plain)
+    assert_arrays_equal(decode_array(blob), arr, "bss_auto")
+
+
+def test_list_float_sliced_input_roundtrip():
+    base = pa.array([[float(i), float(i + 1)] for i in range(100)],
+                    pa.list_(pa.float32()))
+    sl = base.slice(7, 41)
+    for codec in ("plain", "bss"):
+        assert_arrays_equal(decode_array(encode_array(sl, codec)), sl,
+                            ("list_slice", codec))

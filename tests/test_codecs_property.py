@@ -109,3 +109,16 @@ def test_timestamp_roundtrip_us():
 def test_empty_array_roundtrip(typ):
     _codec, out, want = _roundtrip_equal(pa.array([], typ))
     assert len(out) == 0
+
+
+@given(st.lists(st.one_of(
+    st.none(),
+    st.lists(st.floats(allow_nan=False, allow_infinity=True, width=32),
+             max_size=12)), max_size=120))
+@SET
+def test_list_float32_roundtrip(xs):
+    arr = pa.array(xs, pa.list_(pa.float32()))
+    codec, out, want = _roundtrip_equal(arr)
+    # nulls canonicalize to empty-extent null slots; logical equality
+    assert out.is_valid().to_pylist() == [x is not None for x in xs]
+    assert out.to_pylist() == canonicalize(want).to_pylist()
