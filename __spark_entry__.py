@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile": corpus.q_hist_quantile,
         "split_assign": corpus.q_split_assign,
         "heavy_hitters": corpus.q_heavy_hitters,
+        "line_dedup": corpus.q_line_dedup,
+        "temp_sample": corpus.q_temp_sample,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -168,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "hist_quantile": corpus.SQL_HIST_QUANTILE,
         "split_assign": corpus.SQL_SPLIT_ASSIGN,
         "heavy_hitters": corpus.SQL_HEAVY_HITTERS,
+        "line_dedup": corpus.SQL_LINE_DEDUP,
+        "temp_sample": corpus.SQL_TEMP_SAMPLE,
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

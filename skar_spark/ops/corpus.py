@@ -62,6 +62,10 @@ _HIST_BIN = 64          # n_chars bin width
 _HIST_QS = (0.5, 0.9, 0.99)
 # heavy hitters
 _TOPK_TOKENS = 20
+# line-level dedup: tokens per synthetic "line"
+_LINE_TOKS = 8
+# temperature sampling: hash-threshold denominator (2^20)
+_TS_SCALE = 1 << 20
 
 
 def _toks(col="text"):
@@ -279,6 +283,116 @@ SELECT source,
             ELSE 'test' END AS split,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY source
+"""
+
+# --- corpus-wide line-level exact dedup (CCNet / RefinedWeb shape) -----------
+
+def q_line_dedup(spark, sf):
+    """Corpus-wide line-level exact dedup with in-order reassembly.
+
+    CCNet / RefinedWeb drop every repeated LINE across the whole corpus,
+    keeping only its first occurrence, then stitch each document back
+    together from its surviving lines. The synthetic corpus has no
+    newlines, so "lines" here are consecutive `_LINE_TOKS`-token chunks —
+    a synthetic delimiter; the distributed shape is the real one:
+    chunk → posexplode → ONE shuffle on the line text (first-occurrence
+    window) → re-aggregate in original order. Docs whose every line is a
+    duplicate drop out (their text is fully boilerplate).
+
+    At 100 TB: the only corpus-sized exchange is the line-hash shuffle,
+    the same cost class as exact doc dedup; the reassembly groupBy
+    reuses the doc_id clustering and the per-doc state is bounded by
+    document length.
+    """
+    d = load(spark, sf, "documents")
+    toks = _toks()
+    nlines = F.ceil(F.size(toks) / F.lit(_LINE_TOKS)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", F.slice(toks, i * _LINE_TOKS + 1, _LINE_TOKS))
+             .alias("line")))
+    e = (d.select("doc_id", F.explode(lines).alias("u"))
+         .select("doc_id", F.col("u.pos").alias("pos"),
+                 F.col("u.line").alias("line")))
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (kept.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.md5(F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                     lambda s: s["line"]), " ")).alias("kept_md5")))
+
+
+SQL_LINE_DEDUP = rf"""
+WITH s AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+e0 AS (
+  SELECT doc_id,
+         unnest([{{'pos': i, 'line': array_to_string(
+                     t[i*{_LINE_TOKS}+1:i*{_LINE_TOKS}+{_LINE_TOKS}], ' ')}}
+                 for i in range(0, CAST(ceil(len(t)/{_LINE_TOKS}.0)
+                                        AS BIGINT))]) AS u
+  FROM s),
+e AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM e0),
+k AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM e)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(line, ' ' ORDER BY pos)) AS kept_md5
+FROM k WHERE rn = 1 GROUP BY doc_id
+"""
+
+# --- temperature (mixture) resampling across languages ------------------------
+
+def q_temp_sample(spark, sf):
+    """Temperature resampling of the language mixture (alpha = 0.5).
+
+    Multilingual pipelines rebalance head languages by sampling stratum
+    s down to ∝ n_s^alpha; anchoring the smallest stratum at keep-rate 1
+    gives rate_s = sqrt(n_min / n_s) for alpha = 0.5. The keep decision
+    is a deterministic per-doc hash threshold (floor(rate * 2^20) — the
+    division, sqrt, and power-of-two scaling are all exactly reproduced
+    by any IEEE engine, so the oracle matches bit-for-bit).
+
+    Scale shape: the rate table is one tiny agg (≤ #langs rows),
+    broadcast back onto the corpus; the filter is a projection. No
+    corpus-sized shuffle beyond the count agg's map-side combine.
+    """
+    d = load(spark, sf, "documents")
+    agg = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    wall = Window.partitionBy()
+    rates = agg.select(
+        "lang", "n_docs",
+        F.floor(F.sqrt(F.min("n_docs").over(wall) / F.col("n_docs"))
+                * F.lit(_TS_SCALE)).cast("long").alias("keep_thresh"))
+    keep = (d.join(F.broadcast(rates), "lang")
+            .filter(F.pmod(h60(F.concat(F.lit("ts#"),
+                                        F.col("doc_id").cast("string"))),
+                           F.lit(_TS_SCALE)) < F.col("keep_thresh")))
+    return (keep.groupBy("lang")
+            .agg(F.min("n_docs").cast("long").alias("n_docs"),
+                 F.count("*").cast("long").alias("n_kept"),
+                 F.min("keep_thresh").alias("keep_thresh")))
+
+
+SQL_TEMP_SAMPLE = f"""
+WITH agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang),
+r AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs)
+                    * {_TS_SCALE}) AS BIGINT) AS keep_thresh
+  FROM agg)
+SELECT d.lang, min(r.n_docs) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(r.keep_thresh) AS keep_thresh
+FROM documents d JOIN r USING (lang)
+WHERE {sql_h60("concat('ts#', doc_id)")} % {_TS_SCALE} < r.keep_thresh
+GROUP BY d.lang
 """
 
 # --- exact heavy hitters ------------------------------------------------------

@@ -81,3 +81,53 @@ def test_decontam_excludes_eval_docs(spark):
     assert rows, "expected some contamination on the synthetic corpus"
     assert all(r["doc_id"] % corpus._EVAL_MOD != 0 for r in rows)
     assert all(r["n_hit_grams"] >= 1 for r in rows)
+
+
+def test_line_dedup_keeps_exactly_distinct_lines(spark):
+    """Total kept lines across the corpus == number of distinct line
+    texts (first-occurrence-wins keeps exactly one copy of each)."""
+    res = corpus.q_line_dedup(spark, SF)
+    total_kept = res.agg(F.sum("n_kept")).collect()[0][0]
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = corpus._LINE_TOKS
+    nlines = F.ceil(F.size(toks) / F.lit(n)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * n + 1, n)))
+    n_distinct = (d.select(F.explode(lines).alias("line"))
+                  .select("line").distinct().count())
+    assert total_kept == n_distinct
+    # and dedup actually fired on the synthetic corpus
+    n_total = d.select(F.explode(lines).alias("line")).count()
+    assert total_kept < n_total
+
+
+def test_line_dedup_two_exchanges_only(spark):
+    """One shuffle on line text (first-occurrence window) + one on
+    doc_id (reassembly) — no extra exchange, no cartesian."""
+    plan = _plan(corpus.q_line_dedup(spark, SF))
+    assert plan.count(") Exchange") <= 2
+    assert "Cartesian" not in plan
+
+
+def test_temp_sample_rebalances_head_language(spark):
+    rows = {r["lang"]: r for r in corpus.q_temp_sample(spark, SF).collect()}
+    n_min = min(r["n_docs"] for r in rows.values())
+    for r in rows.values():
+        assert r["n_kept"] <= r["n_docs"]
+        if r["n_docs"] == n_min:
+            # smallest stratum anchored at keep-rate 1
+            assert r["keep_thresh"] == corpus._TS_SCALE
+            assert r["n_kept"] == r["n_docs"]
+        else:
+            assert r["keep_thresh"] < corpus._TS_SCALE
+    # the head language is actually downsampled on the skewed corpus
+    head = max(rows.values(), key=lambda r: r["n_docs"])
+    assert head["n_kept"] < head["n_docs"]
+
+
+def test_temp_sample_broadcasts_rate_table(spark):
+    plan = _plan(corpus.q_temp_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
