@@ -149,15 +149,25 @@ def compact_parts(spark: SparkSession, out_dir: str,
     # (e.g. lineage without lang_bloom) must fail pre-flight while the
     # table is still writable, not after the marker is durable
     import pyarrow as pa  # noqa: F401  (mapInArrow contract)
-    footer = read_footer(files[0])
-    ddl = spark_ddl_for(footer["schema"], footer["columns"])
+    # merged table schema: an evolved table (engine/schema_evo.py) has
+    # parts written before a column existed — decode them null-filled so
+    # the compacted parts all carry the CURRENT schema (Iceberg rewrite
+    # materializes evolution, same here)
+    from skar_spark.engine.schema_evo import load_table_schema
+    ts = load_table_schema(out_dir)
+    if ts is None:
+        footer = read_footer(files[0])
+        ts = (footer["columns"], footer["schema"])
+    tcols, ttypes = ts
+    ddl = spark_ddl_for(ttypes, tcols)
+    fill = {c: ttypes[c] for c in tcols}
     paths_df = spark.createDataFrame(
         [(f,) for f in files], "path string").repartition(len(files))
 
     def decode_fn(batches):
         for batch in batches:
             for p in batch.column("path").to_pylist():
-                t = read_part_file(p)
+                t = read_part_file(p, columns=tcols, fill_missing=fill)
                 yield from t.to_batches(max_chunksize=16384)
 
     df = with_host(paths_df.mapInArrow(decode_fn, schema=ddl))

@@ -498,13 +498,22 @@ def scan(spark: SparkSession, out_dir: str,
     epoch) with the committed cold set — see prune_partitions."""
     files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq,
                              as_of=as_of, include_hot=include_hot)
-    # schema from the first footer (fixed schema across partitions)
-    all_files = files or list_part_files(out_dir)
-    if not all_files:
-        raise FileNotFoundError(f"no part files under {out_dir}")
-    footer = read_footer(all_files[0])
-    cols = columns or footer["columns"]
-    ddl = spark_ddl_for(footer["schema"], cols)
+    # merged table schema (meta/schema.json — one driver-side GET, kept
+    # current at every lineage commit; Iceberg add-column semantics).
+    # Pre-evolution tables fall back to the first footer (fixed schema).
+    from skar_spark.engine.schema_evo import load_table_schema
+    tschema = load_table_schema(out_dir)
+    if tschema is None:
+        all_files = files or list_part_files(out_dir)
+        if not all_files:
+            raise FileNotFoundError(f"no part files under {out_dir}")
+        footer = read_footer(all_files[0])
+        tschema = (footer["columns"], footer["schema"])
+    tcols, ttypes = tschema
+    cols = columns or tcols
+    ddl = spark_ddl_for(ttypes, cols)
+    # parts written before a column existed null-fill it kernel-side
+    fill = {c: ttypes[c] for c in cols}
 
     paths_df = spark.createDataFrame(
         [(f,) for f in files] or [], "path string").repartition(
@@ -514,7 +523,8 @@ def scan(spark: SparkSession, out_dir: str,
         for batch in batches:
             for p in batch.column("path").to_pylist():
                 t = read_part_file(p, columns=cols, host_eq=host_eq,
-                                   ts_range=ts_range, lang_eq=lang_eq)
+                                   ts_range=ts_range, lang_eq=lang_eq,
+                                   fill_missing=fill)
                 for rb in t.to_batches(max_chunksize=16384):
                     yield rb
 

@@ -56,7 +56,7 @@ FOOTER_DDL = (
     "n_row_groups int, host_bloom binary, lang_bloom binary, "
     "text_checksum binary, "
     "sort_sec double, encode_sec double, meta_sec double, file string, "
-    "committed_at double"
+    "committed_at double, schema_json string"
 )
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
@@ -88,6 +88,21 @@ def append_lineage_rows(footers: "DataFrame", out_dir: str) -> int:
         return 0
     rows.sort(key=lambda r: (r.min_warc_ts is None,
                              r.min_warc_ts or _dt.datetime.min))
+
+    # schema evolution (engine/schema_evo.py): merge this batch's part
+    # schemas into the table schema EXACTLY at commit time — a reader
+    # never sees a column before the data carrying it is queryable.
+    # Rows from pre-evolution kernels (or tests building footers by
+    # hand) simply lack the field.
+    import json
+
+    from skar_spark.engine.schema_evo import update_table_schema
+    for r in rows:
+        sj = getattr(r, "schema_json", None)
+        if sj:
+            s = json.loads(sj)
+            update_table_schema(out_dir, s["cols"], s["types"])
+            break  # one batch shares one input schema
 
     def _ts(vals):
         out = []
@@ -416,6 +431,10 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
             "meta_sec": pa.array([round(_time.time() - t_written, 3)], pa.float64()),
             "file": pa.array([path], pa.string()),
             "committed_at": pa.array([_time.time()], pa.float64()),
+            # merged into meta/schema.json at commit; NOT a lineage
+            # column (append_lineage_rows strips it) so old lineage
+            # parquet and new coexist schema-stable
+            "schema_json": pa.array([stats["schema_json"]], pa.string()),
         })
         return footer
 

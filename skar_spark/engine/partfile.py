@@ -157,6 +157,11 @@ def write_part_file(path: str, table: pa.Table,
         "codec_choices": json.dumps(
             {c: max(v, key=v.get) for c, v in codec_counts.items() if v},
             separators=(",", ":")),
+        # this part's own schema, merged into the table-level schema at
+        # lineage-commit time (engine/schema_evo.py — Iceberg add-column)
+        "schema_json": json.dumps(
+            {"cols": cols, "types": footer["schema"]},
+            separators=(",", ":")),
     }
 
 
@@ -190,7 +195,8 @@ def read_part_file(path: str, columns: list[str] | None = None,
                    host_eq: str | None = None,
                    ts_range: tuple[int, int] | None = None,
                    lang_eq: str | None = None,
-                   exact: bool = True) -> pa.Table:
+                   exact: bool = True,
+                   fill_missing: dict[str, str] | None = None) -> pa.Table:
     """Decode a part file with projection + row-group pruning + (by
     default) EXACT predicate semantics.
 
@@ -200,6 +206,11 @@ def read_part_file(path: str, columns: list[str] | None = None,
     exactly (host derived from url Arrow-side, ts compared as int64), so
     callers get precisely the rows matching the predicate — not a
     row-group superset. Pass exact=False for prune-only semantics.
+
+    `fill_missing` maps column name → typecode for requested columns this
+    part may PREDATE (Iceberg-style schema evolution, engine/schema_evo):
+    such columns come back as all-null arrays of the mapped type instead
+    of a KeyError, so readers see the table's merged schema uniformly.
     Mirror of the reference's projected, row-group-selective parquet scan
     (data_provider.rs:121-183, skip logic :250-333).
     """
@@ -240,14 +251,24 @@ def read_part_file(path: str, columns: list[str] | None = None,
                 continue
             arrays, names = [], []
             for c in read_cols:
+                if c not in rg["chunks"] and fill_missing and \
+                        c in fill_missing:
+                    # column added after this part was written: null-fill
+                    arrays.append(pa.nulls(
+                        rg["rows"], type_from_code(fill_missing[c])))
+                    names.append(c)
+                    continue
                 off, ln, _codec = rg["chunks"][c]
                 f.seek(off)
                 arrays.append(decode_array(f.read(ln)))
                 names.append(c)
             tables.append(pa.table(dict(zip(names, arrays))))
     if not tables:
-        schema = pa.schema([(c, type_from_code(footer["schema"][c]))
-                            for c in cols])
+        def _code(c):
+            if c in footer["schema"]:
+                return footer["schema"][c]
+            return (fill_missing or {})[c]
+        schema = pa.schema([(c, type_from_code(_code(c))) for c in cols])
         return pa.table({c: pa.array([], schema.field(c).type) for c in cols})
     t = pa.concat_tables(tables)
     mask = None

@@ -95,15 +95,22 @@ class SkarDataSource(DataSource):
         from skar_spark.engine.decode import list_part_files
         from skar_spark.engine.decode_schema import spark_ddl_for
         from skar_spark.engine.partfile import read_footer
+        from skar_spark.engine.schema_evo import load_table_schema
 
-        files = list_part_files(self.options["path"])
-        if not files:
-            raise FileNotFoundError(
-                f"no part files under {self.options['path']}")
-        footer = read_footer(files[0])
-        cols = self._cols() or footer["columns"] + ["host"]
+        # merged table schema if the table has evolved (Iceberg
+        # add-column, engine/schema_evo.py); first footer otherwise
+        ts = load_table_schema(self.options["path"])
+        if ts is None:
+            files = list_part_files(self.options["path"])
+            if not files:
+                raise FileNotFoundError(
+                    f"no part files under {self.options['path']}")
+            footer = read_footer(files[0])
+            ts = (footer["columns"], footer["schema"])
+        tcols, ttypes = ts
+        cols = self._cols() or tcols + ["host"]
         stored = [c for c in cols if c != "host"]
-        ddl = spark_ddl_for(footer["schema"], stored)
+        ddl = spark_ddl_for(ttypes, stored)
         if "host" in cols:
             parts = ([p.strip() for p in ddl.split(",")] if ddl else [])
             parts.insert(cols.index("host"), "host string")
@@ -143,6 +150,12 @@ class SkarReader(DataSourceReader):
         self.include_hot = str(options.get("include_hot", "")).lower() \
             in ("1", "true")
         self.prune_hosts: list[str] = []  # prune-only (url equality)
+        # evolved-table support: resolve the merged schema ONCE at plan
+        # time; read tasks null-fill columns a part predates
+        from skar_spark.engine.schema_evo import load_table_schema
+        ts = load_table_schema(self.path)
+        self.table_cols = (ts[0] + ["host"]) if ts else None
+        self.fill = ts[1] if ts else None
 
     # -- filter pushdown (planning time, driver side) ------------------
     def pushFilters(self, filters):
@@ -208,20 +221,23 @@ class SkarReader(DataSourceReader):
             return
         yield from _read_part_batches(
             partition.path, self.cols, host_eq=self.host_eq,
-            ts_range=self._ts_range(), lang_eq=self.lang_eq)
+            ts_range=self._ts_range(), lang_eq=self.lang_eq,
+            table_cols=self.table_cols, fill=self.fill)
 
 
 def _read_part_batches(path: str, cols, host_eq=None, ts_range=None,
-                       lang_eq=None):
+                       lang_eq=None, table_cols=None, fill=None):
     """Decode one part file to Arrow batches with the derived `host`
-    column — the shared read-task body of the batch and stream readers."""
+    column — the shared read-task body of the batch and stream readers.
+    `table_cols`/`fill` carry the merged schema of an evolved table so
+    columns a part predates come back null-filled."""
     from skar_spark.engine.partfile import (
         _derive_host,
         read_footer,
         read_part_file,
     )
 
-    want = cols
+    want = cols or table_cols
     if want is None:
         want = read_footer(path)["columns"] + ["host"]
     stored = [c for c in want if c != "host"]
@@ -229,7 +245,8 @@ def _read_part_batches(path: str, cols, host_eq=None, ts_range=None,
     if "host" in want and "url" not in inner:
         inner.append("url")
     t = read_part_file(path, columns=inner, host_eq=host_eq,
-                       ts_range=ts_range, lang_eq=lang_eq)
+                       ts_range=ts_range, lang_eq=lang_eq,
+                       fill_missing=fill)
     if "host" in want:
         t = t.append_column("host", _derive_host(t["url"]))
     t = t.select(want)
@@ -263,6 +280,10 @@ class SkarStreamReader(DataSourceStreamReader):
     def __init__(self, options, cols):
         self.path = options["path"]
         self.cols = cols
+        from skar_spark.engine.schema_evo import load_table_schema
+        ts = load_table_schema(self.path)
+        self.table_cols = (ts[0] + ["host"]) if ts else None
+        self.fill = ts[1] if ts else None
         from skar_spark.engine.compact import is_compacted
         from skar_spark.engine.encode import is_retained
         if is_retained(self.path):
@@ -310,7 +331,9 @@ class SkarStreamReader(DataSourceStreamReader):
     def read(self, partition: SkarPartition):
         if partition is None:
             return
-        yield from _read_part_batches(partition.path, self.cols)
+        yield from _read_part_batches(partition.path, self.cols,
+                                      table_cols=self.table_cols,
+                                      fill=self.fill)
 
     def commit(self, end: dict) -> None:
         pass  # progress is tracked by Spark's streaming checkpoint

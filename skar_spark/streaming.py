@@ -82,7 +82,8 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   max_bytes_per_trigger: int | None = None,
                   max_retries: int = 3,
                   backoff_base_sec: float = 0.5,
-                  max_bytes_per_sec: float | None = None):
+                  max_bytes_per_sec: float | None = None,
+                  schema_ddl: str | None = None):
     """Continuously encode documents landing as parquet in `input_dir`.
 
     Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
@@ -138,7 +139,13 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     # size, so a file-count bound alone admits arbitrarily heavy
     # batches. Spark's file source treats it as a soft cap (it always
     # admits at least one file so progress is guaranteed).
-    reader = (spark.readStream.schema(DOCS_DDL)
+    # `schema_ddl` widens the landing schema mid-table (Iceberg-style
+    # add-column, engine/schema_evo.py): restart the stream with the
+    # extended DDL once the upstream starts emitting the new column —
+    # already-processed files stay processed (checkpoint), new epochs
+    # encode the extra column, the table schema merges at commit, and
+    # scan() null-fills it for pre-evolution parts.
+    reader = (spark.readStream.schema(schema_ddl or DOCS_DDL)
               # quarantined poison files are moved out from under an
               # already-planned batch; skip them instead of failing
               .option("ignoreMissingFiles", "true"))
