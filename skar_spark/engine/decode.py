@@ -605,13 +605,17 @@ def scan_paged(spark: SparkSession, out_dir: str,
                    key=_file_part_index)
     if not files:
         return [], None
-    footer = read_footer(files[0])
-    cols = columns or footer["columns"]
-    ddl = spark_ddl_for(footer["schema"], cols)
+    from skar_spark.engine.schema_evo import load_table_schema
+    ts = load_table_schema(out_dir)
+    if ts is None:
+        footer = read_footer(files[0])
+        ts = (footer["columns"], footer["schema"])
+    cols = columns or ts[0]
+    ddl = spark_ddl_for(ts[1], cols)
     return paged_decode_loop(
         spark, files, cols, ddl, host_eq=host_eq, ts_range=ts_range,
         lang_eq=lang_eq, time_limit_ms=time_limit_ms,
-        page_files=page_files)
+        page_files=page_files, fill={c: ts[1][c] for c in cols})
 
 
 def paged_decode_loop(spark: SparkSession, files: list[str],
@@ -622,7 +626,9 @@ def paged_decode_loop(spark: SparkSession, files: list[str],
                       time_limit_ms: int | None = None,
                       page_files: int = 64,
                       row_limit: int | None = None,
-                      post=None) -> tuple[list, int | None]:
+                      post=None,
+                      fill: dict[str, str] | None = None
+                      ) -> tuple[list, int | None]:
     """THE page/cursor/budget loop — shared by scan_paged and the JSON
     query handler so the folder-granular truncation semantics exist in
     exactly one place. Decodes `files` (already pruned + part-index
@@ -646,7 +652,7 @@ def paged_decode_loop(spark: SparkSession, files: list[str],
                 for p in batch.column("path").to_pylist():
                     t = read_part_file(p, columns=stored_cols,
                                        host_eq=host_eq, ts_range=ts_range,
-                                       lang_eq=lang_eq)
+                                       lang_eq=lang_eq, fill_missing=fill)
                     for rb in t.to_batches(max_chunksize=16384):
                         yield rb
 

@@ -159,9 +159,15 @@ def run_query(spark: SparkSession, out_dir: str, query: dict) -> dict:
         return empty
 
     # --- columns: requested fields + whatever the residual needs ------
-    footer = read_footer(files[0])
-    fields = list(query.get("field_selection")
-                  or footer["columns"] + ["host"])
+    # merged table schema on evolved tables (engine/schema_evo.py);
+    # first footer otherwise
+    from skar_spark.engine.schema_evo import load_table_schema
+    tsch = load_table_schema(out_dir)
+    if tsch is None:
+        footer = read_footer(files[0])
+        tsch = (footer["columns"], footer["schema"])
+    tcols, ttypes = tsch
+    fields = list(query.get("field_selection") or tcols + ["host"])
     need = set(fields)
     if any(s.get("hosts") or s.get("url_prefix")
            for s in selections) or "host" in need:
@@ -170,8 +176,8 @@ def run_query(spark: SparkSession, out_dir: str, query: dict) -> dict:
         need.add("lang")
     if ts_range is not None:
         need.add("warc_ts")
-    stored = [c for c in footer["columns"] if c in need]
-    ddl = spark_ddl_for(footer["schema"], stored)
+    stored = [c for c in tcols if c in need]
+    ddl = spark_ddl_for(ttypes, stored)
 
     # --- time-limited decode in part-index order, exact residual ------
     # (the page/cursor/budget mechanics live in decode.paged_decode_loop,
@@ -190,7 +196,8 @@ def run_query(spark: SparkSession, out_dir: str, query: dict) -> dict:
         spark, files, stored, ddl, ts_range=ts_range,
         time_limit_ms=time_limit_ms,
         page_files=int(query.get("page_files", 64)),
-        row_limit=max_rows, post=post)
+        row_limit=max_rows, post=post,
+        fill={c: ttypes[c] for c in stored})
     return {
         "rows": [{k: _json_safe(v) for k, v in r.asDict().items()}
                  for r in rows],

@@ -197,3 +197,33 @@ def test_compaction_materializes_evolution(spark, tmp_path):
     from skar_spark.engine.partfile import read_footer
     for f in list_part_files(out):
         assert "quality" in read_footer(f)["columns"]
+
+
+def test_query_handler_and_scan_paged_on_evolved_table(spark, tmp_path):
+    from skar_spark.engine.decode import scan_paged
+    from skar_spark.query import run_query
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    pq.write_table(synth_batch(np.arange(0, 400)), str(land / "a.parquet"))
+    out = str(tmp_path / "tbl")
+    q = stream_encode(spark, str(land), out, CFG, parts_per_batch=2)
+    q.awaitTermination(120)
+    t2 = synth_batch(np.arange(400, 600)).append_column(
+        "quality", pa.array(np.full(200, 0.75), pa.float64()))
+    pq.write_table(t2, str(land / "b.parquet"))
+    q2 = stream_encode(spark, str(land), out, CFG, parts_per_batch=2,
+                       schema_ddl=DOCS_DDL + ", quality double")
+    q2.awaitTermination(120)
+
+    res = run_query(spark, out, {"field_selection": ["url", "quality"],
+                                 "max_rows": 10_000})
+    assert res["num_rows"] == 600
+    n_null = sum(1 for r in res["rows"] if r["quality"] is None)
+    assert n_null == 400
+    assert all(r["quality"] in (None, 0.75) for r in res["rows"])
+
+    rows, nxt = scan_paged(spark, out, columns=["url", "quality"],
+                           time_limit_ms=None)
+    assert nxt is None and len(rows) == 600
+    assert sum(1 for r in rows if r.quality is None) == 400
