@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": corpus.q_heavy_hitters,
         "line_dedup": corpus.q_line_dedup,
         "temp_sample": corpus.q_temp_sample,
+        "vocab_encode": corpus.q_vocab_encode,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": corpus.SQL_HEAVY_HITTERS,
         "line_dedup": corpus.SQL_LINE_DEDUP,
         "temp_sample": corpus.SQL_TEMP_SAMPLE,
+        "vocab_encode": corpus.SQL_VOCAB_ENCODE,
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,

@@ -203,8 +203,11 @@ def main() -> None:
         "sample_hash", "sample_stratified", "kmv_distinct",
         "dedup_clusters",
         # r5 corpus-construction ops (broadcast decontam join, per-lang
-        # packing window, explode+TakeOrdered heavy hitters)
-        "decontam", "seq_pack", "heavy_hitters",
+        # packing window, explode+TakeOrdered heavy hitters, line-level
+        # dedup's single line-text shuffle, broadcast temperature
+        # resampling)
+        "decontam", "seq_pack", "heavy_hitters", "line_dedup",
+        "temp_sample",
     ]
     # untimed warm-up: parquet reader + HOF codegen paths otherwise land
     # entirely in whichever query runs first

@@ -66,6 +66,9 @@ _TOPK_TOKENS = 20
 _LINE_TOKS = 8
 # temperature sampling: hash-threshold denominator (2^20)
 _TS_SCALE = 1 << 20
+# vocabulary size (UNK id == _VOCAB_K); the synthetic corpus has a tiny
+# vocabulary, so pick K below it to exercise the UNK path
+_VOCAB_K = 24
 
 
 def _toks(col="text"):
@@ -393,6 +396,65 @@ SELECT d.lang, min(r.n_docs) AS n_docs,
 FROM documents d JOIN r USING (lang)
 WHERE {sql_h60("concat('ts#', doc_id)")} % {_TS_SCALE} < r.keep_thresh
 GROUP BY d.lang
+"""
+
+# --- vocabulary build + tokenizer apply ---------------------------------------
+
+def q_vocab_encode(spark, sf):
+    """Frequency-ranked top-`_VOCAB_K` vocabulary, then every document
+    re-encoded as its id sequence (out-of-vocab → UNK id = `_VOCAB_K`),
+    emitted as (doc_id, n_tokens, n_unk, md5 of the comma-joined ids in
+    position order) — the tokenizer-vocab construction + apply step of
+    a training pipeline, minus the BPE merge loop.
+
+    Scale shape: the vocab is ONE map-side-combinable count agg
+    truncated to K rows and broadcast; the corpus side is posexplode →
+    broadcast hash join → per-doc re-aggregation (same doc_id clustering
+    the explode came from). No corpus-sized join shuffle; the global
+    rank window runs over the tiny count table only. Docs whose text is
+    blank have no tokens and drop out (both engines).
+    """
+    d = load(spark, sf, "documents")
+    tok = (d.select("doc_id", F.posexplode(_toks()).alias("pos", "token"))
+           .filter(F.col("token") != ""))
+    cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    vocab = (cnt.select("token",
+                        (F.row_number().over(w) - 1).alias("id"))
+             .filter(F.col("id") < _VOCAB_K))
+    ids = (tok.join(F.broadcast(vocab), "token", "left")
+           .select("doc_id", "pos",
+                   F.coalesce(F.col("id"), F.lit(_VOCAB_K)).alias("id")))
+    return (ids.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum((F.col("id") == _VOCAB_K).cast("long"))
+                  .cast("long").alias("n_unk"),
+                 F.md5(F.array_join(F.transform(
+                     F.array_sort(F.collect_list(F.struct(
+                         "pos", F.col("id").cast("string").alias("s")))),
+                     lambda x: x["s"]), ",")).alias("ids_md5")))
+
+
+SQL_VOCAB_ENCODE = rf"""
+WITH tok AS (
+  SELECT doc_id, u.pos AS pos, u.token AS token
+  FROM (
+    SELECT doc_id,
+           unnest([{{'pos': i - 1, 'token': t[i]}}
+                   for i in range(1, len(t) + 1)]) AS u
+    FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) s) e
+  WHERE u.token <> ''),
+v AS (
+  SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS id
+  FROM (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+  QUALIFY id < {_VOCAB_K})
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unk,
+       md5(string_agg(CAST(coalesce(v.id, {_VOCAB_K}) AS VARCHAR), ','
+                      ORDER BY t.pos)) AS ids_md5
+FROM tok t LEFT JOIN v USING (token)
+GROUP BY t.doc_id
 """
 
 # --- exact heavy hitters ------------------------------------------------------

@@ -131,3 +131,15 @@ def test_temp_sample_broadcasts_rate_table(spark):
     plan = _plan(corpus.q_temp_sample(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_encode_broadcast_and_unk(spark):
+    plan = _plan(corpus.q_vocab_encode(spark, SF))
+    # the corpus-side token→id join must broadcast the K-row vocab
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    rows = corpus.q_vocab_encode(spark, SF).collect()
+    assert rows
+    # K below the corpus vocabulary → the UNK path actually fires
+    assert any(r["n_unk"] > 0 for r in rows)
+    assert all(0 <= r["n_unk"] <= r["n_tokens"] for r in rows)
