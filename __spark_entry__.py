@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.q_simhash,
         "ngram_jaccard": dedup.q_ngram_jaccard,
         "cosine_topk": dedup.q_cosine_topk,
+        # the exact-same-answer SCALE path (broadcast query matrix +
+        # per-batch BLAS + local top-k; no crossJoin) — shares the
+        # brute baseline's oracle
+        "cosine_topk_blocked": dedup.q_cosine_topk_blocked,
         "ann_lsh": dedup.q_ann_lsh,
         "ann_ivf": dedup.q_ann_ivf,
         # end-to-end dedup decisions (survivor sets, not just pairs)
@@ -154,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.SQL_SIMHASH,
         "ngram_jaccard": dedup.sql_ngram_jaccard(),
         "cosine_topk": dedup.SQL_COSINE_TOPK,
+        "cosine_topk_blocked": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
         "ann_ivf": dedup.sql_ann_ivf(),
         "dedup_near": dedup.sql_dedup_near(),

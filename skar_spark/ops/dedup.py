@@ -487,6 +487,76 @@ SELECT qid, rk, vec_id, cos FROM (
 WHERE rk <= {_TOPK}
 """
 
+def q_cosine_topk_blocked(spark, sf):
+    """Exact cosine top-k, the SCALE path: broadcast query matrix +
+    one BLAS matmul per Arrow batch + partition-local top-k.
+
+    Same semantics and output as `q_cosine_topk` (the brute crossJoin
+    correctness baseline, which refuses large bases): _N_QUERIES query
+    vectors against the full base, top-_TOPK per query, ties broken by
+    vec_id, scores rounded to 4 decimals — so it shares the same DuckDB
+    oracle. The execution shape is what survives 10^12 rows:
+
+    - the query set is collected driver-side (q×d doubles, KBs) and
+      broadcast in the kernel closure — no crossJoin, no shuffle of the
+      base at all;
+    - each Arrow batch computes B @ Q.T with float64 BLAS (one pass over
+      the base; memory bounded by the batch), keeps only its local
+      top-k per query (≤ q·k rows out per batch);
+    - the global reduce runs over (#batches × q × k) candidate rows —
+      metadata-sized — with the same deterministic window.
+
+    Scoring parity with the fold-left oracle: rounding to 4 decimals
+    absorbs the matmul-vs-sequential summation ulp (a flip needs a true
+    score within ~1e-12 of a 0.5e-4 rounding boundary).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    e = load(spark, sf, "embeddings")
+    qrows = (e.filter(F.col("vec_id") < _N_QUERIES)
+             .select("vec_id", "embedding").collect())
+    qrows.sort(key=lambda r: r.vec_id)
+    qids = np.array([r.vec_id for r in qrows], np.int64)
+    Q = np.array([r.embedding for r in qrows], np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def kernel(batches):
+        for b in batches:
+            vid = b.column("vec_id").to_numpy(zero_copy_only=False)
+            emb = b.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            B = flat.reshape(len(b), -1)
+            bn = np.sqrt((B * B).sum(axis=1))
+            cos = (B @ Q.T) / np.outer(bn, qn)        # (n_b, q) BLAS
+            cos = np.round(cos, 4)
+            for j in range(len(qids)):
+                c = cos[:, j]
+                mask = vid != qids[j]                  # exclude self
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                k = min(_TOPK, idx.size)
+                # local top-k: score desc, vec_id asc (lexsort keys
+                # reversed: primary last)
+                order = idx[np.lexsort((vid[idx], -c[idx]))][:k]
+                yield pa.record_batch({
+                    "qid": pa.array(np.full(k, qids[j]), pa.int64()),
+                    "vec_id": pa.array(vid[order], pa.int64()),
+                    "cos": pa.array(c[order], pa.float64()),
+                })
+
+    cand = e.select("vec_id", "embedding").mapInArrow(
+        kernel, "qid long, vec_id long, cos double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(),
+                                          F.col("vec_id").asc())
+    return (cand.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _TOPK)
+            .select("qid", "rk", "vec_id", "cos"))
+
+
 # --- ANN via random-hyperplane LSH (the similarity-search scale path) ---------
 #
 # Brute-force cosine (q_cosine_topk) is the correctness baseline; at scale

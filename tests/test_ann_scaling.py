@@ -381,3 +381,31 @@ def test_ivf_candidates_subquadratic(spark, planted):
     bound = _IVF_N_QUERIES * max(
         64, 4 * _IVF_NPROBE * n // ivf_n_lists(n))
     assert q_ann_ivf(spark, sf_dir).count() <= bound
+
+
+def test_cosine_blocked_matches_brute_and_scales(spark):
+    """The blocked-BLAS exact path returns the brute baseline's answer
+    row-for-row on the bigger corpus AND has the scale-safe plan: no
+    crossJoin/cartesian, no guard (it never materializes q x n pairs),
+    base processed by one mapInArrow pass."""
+    from skar_spark.ops.dedup import (
+        _COSINE_BRUTE_MAX_ROWS,
+        q_cosine_topk,
+        q_cosine_topk_blocked,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    blocked = q_cosine_topk_blocked(spark, sf)
+    plan = blocked._sc._jvm.PythonSQLUtils.explainString(
+        blocked._jdf.queryExecution(), "formatted")
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r.qid, r.rk, r.vec_id, r.cos) for r in blocked.collect()}
+    want = {(r.qid, r.rk, r.vec_id, r.cos)
+            for r in q_cosine_topk(spark, sf).collect()}
+    assert got == want
+    # and the blocked path carries no brute-force row guard: it is the
+    # path you run when n exceeds the baseline's refusal bound
+    import inspect
+    src = inspect.getsource(q_cosine_topk_blocked)
+    assert "SKAR_ALLOW_BRUTE" not in src
+    assert _COSINE_BRUTE_MAX_ROWS  # the baseline keeps its guard
