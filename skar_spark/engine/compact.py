@@ -154,9 +154,12 @@ def compact_parts(spark: SparkSession, out_dir: str,
     # the compacted parts all carry the CURRENT schema (Iceberg rewrite
     # materializes evolution, same here)
     from skar_spark.engine.schema_evo import load_table_schema
+    # the footer read doubles as the pre-flight storage probe: it must
+    # run (and be allowed to fail) BEFORE the irreversible archival
+    # marker even when the merged schema comes from meta/schema.json
+    footer = read_footer(files[0])
     ts = load_table_schema(out_dir)
     if ts is None:
-        footer = read_footer(files[0])
         ts = (footer["columns"], footer["schema"])
     tcols, ttypes = ts
     ddl = spark_ddl_for(ttypes, tcols)

@@ -531,7 +531,7 @@ def q_cosine_topk_blocked(spark, sf):
             bn = np.sqrt((B * B).sum(axis=1))
             cos = (B @ Q.T) / np.outer(bn, qn)        # (n_b, q) BLAS
             cos = np.round(cos, 4)
-            for j in range(len(qids)):
+            for j in range(len(qids)):  # metadata-scale: q queries, not rows
                 c = cos[:, j]
                 mask = vid != qids[j]                  # exclude self
                 idx = np.flatnonzero(mask)
