@@ -27,6 +27,7 @@ coercion on a petabyte table is how you corrupt it.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -77,6 +78,26 @@ def _schema_path(out_dir: str) -> str:
     return os.path.join(out_dir, "meta", "schema.json")
 
 
+@contextlib.contextmanager
+def _schema_lock(out_dir: str):
+    """Advisory per-table lock for the schema read-merge-write (POSIX
+    only; held for microseconds — one small file rewrite). Object-store
+    roots fall through to the lock-free convergence loop."""
+    if not storage.is_posix(out_dir):
+        yield
+        return
+    import fcntl
+    storage.makedirs(os.path.join(out_dir, "meta"))
+    fd = os.open(os.path.join(out_dir, "meta", "schema.lock"),
+                 os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def load_table_schema(out_dir: str) -> tuple[list[str], dict[str, str]] | None:
     """Authoritative merged schema, or None for pre-evolution tables
     (callers fall back to the first part footer, the fixed-schema
@@ -96,24 +117,54 @@ def update_table_schema(out_dir: str, cols: list[str],
     Called by ``append_lineage_rows`` with the batch's observed schema;
     a no-change merge writes nothing. The version history stays in the
     file so `describe`-style tooling can show when each column appeared.
+
+    Concurrency: the PUT is atomic (temp+rename / object PUT) but
+    read-merge-write of two simultaneous commits can race. On POSIX
+    roots the whole merge runs under an advisory ``flock`` on
+    ``meta/schema.lock``, so concurrent committers serialize and no
+    column can be lost. On object-store roots there is nothing to lock;
+    there the loop re-reads after writing and re-merges if another
+    writer landed in between — merges are commutative and idempotent
+    (set union with widening), so repeated folding converges, with the
+    residual caveat (documented, same as Iceberg without a catalog's
+    atomic swap) that two writers racing within one round-trip can
+    briefly publish a schema missing the other's column until either
+    commits again.
     """
-    cur = load_table_schema(out_dir)
-    if cur is None:
-        merged_cols, merged_types = list(cols), dict(types)
-        version, history = 1, []
-    else:
-        merged_cols, merged_types = merge_schema(cur[0], cur[1], cols, types)
-        if (merged_cols, merged_types) == cur:
-            return cur
-        raw = storage.get_bytes(_schema_path(out_dir))
-        doc = json.loads(raw)
-        version = doc.get("version", 1) + 1
-        history = doc.get("history", []) + [
-            {"version": doc.get("version", 1), "cols": doc["cols"],
-             "types": doc["types"]}]
-    storage.makedirs(os.path.join(out_dir, "meta"))
-    storage.put_bytes(_schema_path(out_dir), json.dumps({
-        "version": version, "cols": merged_cols, "types": merged_types,
-        "history": history, "committed_at": time.time(),
-    }).encode())
-    return merged_cols, merged_types
+    with _schema_lock(out_dir):
+        return _update_locked(out_dir, cols, types)
+
+
+def _update_locked(out_dir: str, cols: list[str],
+                   types: dict[str, str]) -> tuple[list[str],
+                                                   dict[str, str]]:
+    for _ in range(8):
+        cur = load_table_schema(out_dir)
+        if cur is None:
+            merged_cols, merged_types = list(cols), dict(types)
+            version, history = 1, []
+        else:
+            merged_cols, merged_types = merge_schema(cur[0], cur[1],
+                                                     cols, types)
+            if (merged_cols, merged_types) == cur:
+                return cur
+            doc = json.loads(storage.get_bytes(_schema_path(out_dir)))
+            version = doc.get("version", 1) + 1
+            history = doc.get("history", []) + [
+                {"version": doc.get("version", 1), "cols": doc["cols"],
+                 "types": doc["types"]}]
+        storage.makedirs(os.path.join(out_dir, "meta"))
+        storage.put_bytes(_schema_path(out_dir), json.dumps({
+            "version": version, "cols": merged_cols, "types": merged_types,
+            "history": history, "committed_at": time.time(),
+        }).encode())
+        # convergence check: our columns must all be present in what is
+        # now on disk (ours, or a later writer's merge that includes us)
+        after = load_table_schema(out_dir)
+        if after and all(c in after[1] for c in merged_types):
+            return after
+        # another writer overwrote us without our columns — fold ours in
+        # again; pass OUR merged view so nothing regresses
+        cols, types = merged_cols, merged_types
+    raise RuntimeError(
+        f"schema update did not converge after 8 rounds for {out_dir}")

@@ -227,3 +227,35 @@ def test_query_handler_and_scan_paged_on_evolved_table(spark, tmp_path):
                            time_limit_ms=None)
     assert nxt is None and len(rows) == 600
     assert sum(1 for r in rows if r.quality is None) == 400
+
+
+def test_concurrent_schema_updates_lose_no_columns(tmp_path):
+    """Concurrent committers racing on meta/schema.json must not lose
+    columns: on POSIX roots the advisory flock serializes the
+    read-merge-write, so every writer's column survives every
+    interleaving. 8 threads × 25 updates, each adding its own column
+    repeatedly from a shared base."""
+    import threading
+
+    out = str(tmp_path / "tbl")
+    update_table_schema(out, ["url"], {"url": "str"})
+    errs = []
+
+    def writer(i):
+        try:
+            for _ in range(25):
+                update_table_schema(out, ["url", f"q{i}"],
+                                    {"url": "str", f"q{i}": "f64"})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    cols, types = load_table_schema(out)
+    assert {f"q{i}" for i in range(8)} <= set(types)
+    assert cols[0] == "url" and len(cols) == 9
