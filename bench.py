@@ -26,6 +26,27 @@ import sys
 import time
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat. Steal is the
+    hypervisor-neighbor signal loadavg CANNOT see: loadavg counts only
+    our own runnable tasks, but a neighbor VM stealing cycles (or DRAM
+    bandwidth) slows the memory-bound codec kernels with loadavg
+    staying flat — r5 observed identical code + quiet loadavg vary
+    7.5→28.8 s on the same 400k-doc encode."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dtot = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dtot, 2) if dtot else 0.0
+
+
 def _loadavg() -> list[float]:
     """1/5/15-min load averages — ambient-load telemetry (VERDICT r04:
     BENCH_r04 was taken under heavy hypervisor-neighbor load and the
@@ -60,6 +81,7 @@ def main() -> None:
     load_track["ambient_wait_sec"] = waited
     load_track["ambient_loaded"] = bool(
         load_track["at_start"][0] > ambient_thr)
+    stat_start = _cpu_stat()
 
     from skar_spark.session import get_spark
     spark = get_spark(cpus=cpus, app="skar_bench")
@@ -97,16 +119,29 @@ def main() -> None:
     # so a loaded run is self-explaining (VERDICT r04 item 1).
     load_track["pre_encode"] = _loadavg()
     n_reps = 3 + (1 if load_track["ambient_loaded"] else 0)
+    # adaptive extension (r5): keep repeating (cap 6) while the best is
+    # still improving >8%/rep or the rep saw >3% CPU steal — a transient
+    # neighbor storm mid-bench otherwise becomes the official number
+    max_reps = 6
     reps = []
     rep_loads = []
-    for rep in range(n_reps):
+    rep_steal = []
+    while len(reps) < n_reps:
         shutil.rmtree(out, ignore_errors=True)
+        st0 = _cpu_stat()
         t0 = time.time()
         lin = encode_documents(spark, docs, out, cfg, n_rows=n_docs)
         agg = lin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
         reps.append(round(time.time() - t0, 3))
+        rep_steal.append(_steal_pct(st0, _cpu_stat()))
         rep_loads.append(_loadavg())
+        if len(reps) == n_reps and n_reps < max_reps:
+            improving = (len(reps) >= 2
+                         and reps[-1] < 0.92 * min(reps[:-1]))
+            if improving or rep_steal[-1] > 3.0:
+                n_reps += 1
     load_track["encode_rep_loads"] = rep_loads
+    load_track["encode_rep_steal_pct"] = rep_steal
     enc_sec = min(reps)
     bytes_in, bytes_out = int(agg[0]), int(agg[1])
     timings["encode_job"] = round(enc_sec, 3)
@@ -226,6 +261,7 @@ def main() -> None:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
 
     load_track["at_end"] = _loadavg()
+    load_track["steal_pct_run"] = _steal_pct(stat_start, _cpu_stat())
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "e2e_sec",

@@ -181,6 +181,19 @@ def _loadavg1() -> float:
         return -1.0
 
 
+def _cpu_stat() -> tuple:
+    """(steal, total) jiffies from /proc/stat — steal is the only
+    visible trace of hypervisor-neighbor contention; loadavg stays
+    flat while neighbors slow the memory-bound kernels (see bench.py
+    _cpu_stat and BENCH.md ambient notes)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except (OSError, ValueError):
+        return 0, 0
+
+
 def _ambient_gate(thr: float, max_wait: int = 600) -> float:
     """Wait (bounded) for ambient hypervisor-neighbor load to drop
     below `thr` before a timed leg starts — the scaling criterion is a
@@ -219,8 +232,10 @@ def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
            "--partitions", str(partitions), "--warmup",
            "--repeats", str(job_repeats)]
     load0 = _ambient_gate(thr=2.5)
+    stat0 = _cpu_stat()
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd=REPO, timeout=timeout)
+    stat1 = _cpu_stat()
     for d in [out] + _glob.glob(out + ".r*") + [out + ".warmup"]:
         shutil.rmtree(d, ignore_errors=True)
     if p.returncode != 0:
@@ -231,6 +246,9 @@ def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
     res = json.loads(line)
     res["load_at_start"] = load0
     res["load_at_end"] = _loadavg1()
+    dtot = stat1[1] - stat0[1]
+    res["steal_pct"] = (round(100.0 * (stat1[0] - stat0[0]) / dtot, 2)
+                        if dtot else 0.0)
     return res
 
 
@@ -345,6 +363,8 @@ def main() -> None:
                         for r in runs_n],
         "leg_loads_4n": [[r.get("load_at_start"), r.get("load_at_end")]
                          for r in runs_4n],
+        "leg_steal_pct_n": [r.get("steal_pct") for r in runs_n],
+        "leg_steal_pct_4n": [r.get("steal_pct") for r in runs_4n],
     }))
 
 
