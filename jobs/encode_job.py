@@ -110,13 +110,25 @@ def main() -> None:
                          num_parts=args.cpus, n_rows=max(n_rows // mod, 1))
         _sh.rmtree(wdir, ignore_errors=True)
 
+    def _cpu_stat():
+        # (steal, total) jiffies: per-rep hypervisor-steal evidence so a
+        # best-of over reps can be judged rep-by-rep (see bench.py)
+        try:
+            with open("/proc/stat") as f:
+                vals = [int(x) for x in f.readline().split()[1:]]
+            return vals[7] if len(vals) > 7 else 0, sum(vals)
+        except (OSError, ValueError):
+            return 0, 0
+
     import shutil as _sh
     all_secs = []
+    all_steal = []
     best = None
     for rep in range(max(1, args.repeats)):
         out_dir = args.out if args.repeats == 1 else f"{args.out}.r{rep}"
         if not args.resume:
             _sh.rmtree(out_dir, ignore_errors=True)
+        st0 = _cpu_stat()
         t0 = time.time()
         lin = encode_documents(spark, docs, out_dir, cfg,
                                num_parts=args.partitions, n_rows=n_rows,
@@ -124,6 +136,10 @@ def main() -> None:
         agg = lin.groupBy().sum("bytes_in", "bytes_out",
                                 "row_count").collect()[0]
         sec = time.time() - t0
+        st1 = _cpu_stat()
+        dtot = st1[1] - st0[1]
+        all_steal.append(round(100.0 * (st1[0] - st0[0]) / dtot, 2)
+                         if dtot else 0.0)
         all_secs.append(round(sec, 3))
         if best is None or sec < best["sec"]:
             best = {
@@ -136,6 +152,7 @@ def main() -> None:
         if args.repeats > 1 and rep < args.repeats - 1:
             _sh.rmtree(out_dir, ignore_errors=True)
     best["all_sec"] = all_secs
+    best["all_steal_pct"] = all_steal
     spark.stop()
     print(json.dumps(best))
 

@@ -365,6 +365,10 @@ def main() -> None:
                          for r in runs_4n],
         "leg_steal_pct_n": [r.get("steal_pct") for r in runs_n],
         "leg_steal_pct_4n": [r.get("steal_pct") for r in runs_4n],
+        "rep_steal_n": [s for r in runs_n
+                        for s in r.get("all_steal_pct", [])],
+        "rep_steal_4n": [s for r in runs_4n
+                         for s in r.get("all_steal_pct", [])],
     }))
 
 
