@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": corpus.q_line_dedup,
         "temp_sample": corpus.q_temp_sample,
         "vocab_encode": corpus.q_vocab_encode,
+        "pii_redact": corpus.q_pii_redact,
         "multimodal_decode": multimodal.q_multimodal_decode,
         "multimodal_frames": multimodal.q_multimodal_frames,
         # engine path — encode → decode through the custom columnar
@@ -108,6 +109,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_query_handler": engine_queries.q_engine_query_handler,
         "engine_hot_tail": engine_queries.q_engine_hot_tail,
         "engine_day_hash": engine_queries.q_engine_day_hash,
+        "engine_merge": engine_queries.q_engine_merge,
+        "engine_delete": engine_queries.q_engine_delete,
         "engine_lineage": engine_queries.q_engine_lineage,
     }
 
@@ -179,6 +182,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": corpus.SQL_LINE_DEDUP,
         "temp_sample": corpus.SQL_TEMP_SAMPLE,
         "vocab_encode": corpus.SQL_VOCAB_ENCODE,
+        # PII scrub (counts before masking; email→ip→phone mask order)
+        "pii_redact": corpus.SQL_PII_REDACT,
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,
@@ -189,6 +194,11 @@ def oracle_sql() -> dict[str, str]:
         "engine_hot_tail": engine_queries.SQL_ENGINE_HOT_TAIL,
         # range×hash layout + partition-level ts pruning, hash-verified
         "engine_day_hash": engine_queries.SQL_ENGINE_DAY_HASH,
+        # row-level MERGE (upsert+insert) and DELETE over the encoded
+        # table — partition-granular copy-on-write, decoded result
+        # hash-verified against the relationally-merged corpus (r5)
+        "engine_merge": engine_queries.SQL_ENGINE_MERGE,
+        "engine_delete": engine_queries.SQL_ENGINE_DELETE,
         # engine_lineage: engine-internal schema, rows-only by design
     }
 

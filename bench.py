@@ -185,11 +185,32 @@ def main() -> None:
         ARCHIVE, target_partition_rows=cfg.target_partition_rows,
         salt_threshold_rows=cfg.salt_threshold_rows)
     aout = "/tmp/skar_bench_encode_archive"
-    shutil.rmtree(aout, ignore_errors=True)
-    t0 = time.time()
-    alin = encode_documents(spark, a_docs, aout, acfg, n_rows=a_rows)
-    aagg = alin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
-    arc_sec = time.time() - t0
+    # the archive encode and both decode scans used to be single-shot:
+    # a storm landing on one of them poisoned the artifact (one
+    # contended run recorded decode_archive 8× its quiet value). Each
+    # is now best-of-2, +1 rep if the better rep still saw >3% steal.
+
+    def _best_of(fn, reps=2, max_reps=3):
+        secs, steals = [], []
+        while len(secs) < reps:
+            st0 = _cpu_stat()
+            t0 = time.time()
+            ret = fn()
+            secs.append(round(time.time() - t0, 3))
+            steals.append(_steal_pct(st0, _cpu_stat()))
+            if (len(secs) == reps and reps < max_reps
+                    and steals[secs.index(min(secs))] > 3.0):
+                reps += 1
+        return min(secs), ret, secs, steals
+
+    def _arc_encode():
+        shutil.rmtree(aout, ignore_errors=True)
+        alin = encode_documents(spark, a_docs, aout, acfg, n_rows=a_rows)
+        return alin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
+
+    arc_sec, aagg, arc_reps, arc_steals = _best_of(_arc_encode)
+    load_track["archive_rep_secs"] = arc_reps
+    load_track["archive_rep_steal_pct"] = arc_steals
     timings["encode_archive"] = round(arc_sec, 3)
     arc_in, arc_out = int(aagg[0]), int(aagg[1])
     arc_golden = golden_bytes_of(a_docs, a_rows)
@@ -199,14 +220,16 @@ def main() -> None:
     # cold-tier read cost must be on the record): full scan of the
     # DEFAULT table and of the ARCHIVE quarter table
     from skar_spark.engine.decode import scan
-    t0 = time.time()
-    n_back = scan(spark, out).count()
-    dec_sec = time.time() - t0
+    dec_sec, n_back, dec_reps, dec_steals = _best_of(
+        lambda: scan(spark, out).count())
+    load_track["decode_rep_secs"] = dec_reps
+    load_track["decode_rep_steal_pct"] = dec_steals
     timings["decode_job"] = round(dec_sec, 3)
     assert n_back == n_docs, (n_back, n_docs)
-    t0 = time.time()
-    a_back = scan(spark, aout).count()
-    arc_dec_sec = time.time() - t0
+    arc_dec_sec, a_back, adec_reps, adec_steals = _best_of(
+        lambda: scan(spark, aout).count())
+    load_track["decode_archive_rep_secs"] = adec_reps
+    load_track["decode_archive_rep_steal_pct"] = adec_steals
     timings["decode_archive"] = round(arc_dec_sec, 3)
     assert a_back == a_rows, (a_back, a_rows)
     shutil.rmtree(aout, ignore_errors=True)
@@ -242,7 +265,7 @@ def main() -> None:
         # dedup's single line-text shuffle, broadcast temperature
         # resampling)
         "decontam", "seq_pack", "heavy_hitters", "line_dedup",
-        "temp_sample",
+        "temp_sample", "pii_redact",
     ]
     # untimed warm-up: parquet reader + HOF codegen paths otherwise land
     # entirely in whichever query runs first

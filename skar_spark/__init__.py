@@ -28,6 +28,8 @@ __all__ = ["EngineConfig"]
 
 # Public API map (import from the submodules; they lazy-import Spark):
 #   engine.encode:  encode_documents, reencode_late, read_lineage,
+#                   merge_updates, delete_rows       (row-level upsert/delete,
+#                                                     partition copy-on-write)
 #                   snapshots, vacuum                (write path + snapshots)
 #   engine.decode:  scan, scan_paged, validate_output (read path)
 #   engine.compact: compact_parts                     (cold-tier consolidation)

@@ -480,7 +480,8 @@ def scan(spark: SparkSession, out_dir: str,
          ts_range: tuple[int, int] | None = None,
          lang_eq: str | None = None,
          as_of: float | None = None,
-         include_hot: bool = False) -> DataFrame:
+         include_hot: bool = False,
+         part_ids: set[int] | None = None) -> DataFrame:
     """Distributed decode: one task per part file, Arrow batches out.
 
     Predicates are EXACT: partitions and row groups that can't match are
@@ -495,9 +496,16 @@ def scan(spark: SparkSession, out_dir: str,
     kept until ``vacuum``); before the first commit the scan is empty.
 
     ``include_hot=True`` unions the hot tail (uncommitted in-progress
-    epoch) with the committed cold set — see prune_partitions."""
+    epoch) with the committed cold set — see prune_partitions.
+
+    ``part_ids`` restricts the scan to those partition ids (after the
+    predicate pruning above) — the partition-targeted read used by
+    merge_updates/delete_rows to decode only the partitions they will
+    rewrite."""
     files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq,
                              as_of=as_of, include_hot=include_hot)
+    if part_ids is not None:
+        files = [f for f in files if _file_part_index(f) in part_ids]
     # merged table schema (meta/schema.json — one driver-side GET, kept
     # current at every lineage commit; Iceberg add-column semantics).
     # Pre-evolution tables fall back to the first footer (fixed schema).

@@ -986,3 +986,178 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
         FOOTER_DDL)
     append_lineage_rows(footers, out_dir)
     return read_lineage(spark, out_dir, latest=True)
+
+
+def _rewrite_partitions(spark: SparkSession, out_dir: str,
+                        cfg: EngineConfig, affected: list[int],
+                        corrected: DataFrame, tag: str) -> DataFrame:
+    """Copy-on-write rewrite of exactly `affected` partitions.
+
+    `corrected` must already BE the full corrected content of those
+    partitions (and only those). Each affected partition is re-encoded
+    under a fresh attempt id and its lineage row superseded by
+    `committed_at` — the same per-partition atomic switch as
+    reencode_late. A partition whose corrected content is EMPTY (all
+    rows deleted) still gets a new part file — a zero-row part (the
+    format writes one empty row group) — so the supersede is uniform
+    and readers never resurrect the old rows.
+    """
+    planned, _ = _replan_with_stored(spark, corrected, out_dir, cfg)
+    sub = planned.filter(F.col("part_id").isin(affected))
+    attempt = f"{tag}-{uuid.uuid4().hex[:8]}"
+    name_fmt = _kernel_name_fmt(cfg, attempt, out_dir)
+    footers = sub.groupBy("part_id").applyInArrow(
+        _encode_kernel(out_dir, cfg, attempt, name_fmt), FOOTER_DDL)
+    # groupBy only yields groups that HAVE rows: partitions emptied by a
+    # delete never reach the kernel, so their zero-row parts are written
+    # driver-side (metadata-scale: one small file per emptied pid)
+    nonempty = {r.part_id for r in
+                sub.select("part_id").distinct().collect()}
+    emptied = sorted(set(affected) - nonempty)
+    append_lineage_rows(footers, out_dir)
+    if emptied:
+        erows = [_empty_part_footer(out_dir, cfg, attempt, pid, name_fmt)
+                 for pid in emptied]  # per-emptied-partition (metadata)
+        append_lineage_rows(
+            spark.createDataFrame(erows, FOOTER_DDL), out_dir)
+    return read_lineage(spark, out_dir, latest=True)
+
+
+def _empty_part_footer(out_dir: str, cfg: EngineConfig, attempt: str,
+                       pid: int, name_fmt: str) -> tuple:
+    """Write a zero-row part file for an emptied partition and return
+    its FOOTER_DDL-shaped lineage row (driver-side twin of
+    _encode_kernel for the n=0 case)."""
+    import time as _time
+
+    from skar_spark.codecs.framing import type_from_code
+    from skar_spark.engine.schema_evo import load_table_schema
+
+    t0 = _time.time()
+    tschema = load_table_schema(out_dir)
+    if tschema is None:
+        from skar_spark.engine.decode import list_part_files
+        from skar_spark.engine.partfile import read_footer
+        footer = read_footer(list_part_files(out_dir)[0])
+        tschema = (footer["columns"], footer["schema"])
+    tcols, ttypes = tschema
+    body = pa.table(
+        {c: pa.nulls(0, type_from_code(ttypes[c])) for c in tcols}
+        | {"_host": pa.nulls(0, pa.string())})
+    path = os.path.join(out_dir, "parts", name_fmt.format(pid=pid))
+    stats = write_part_file(path, body, cfg)
+    return (pid, attempt, "committed", 0, stats["codec_choices"],
+            stats["bytes_in"], stats["bytes_out"], None, None, 0,
+            stats["n_row_groups"],
+            partition_host_bloom(pa.chunked_array([[]], pa.string()),
+                                 cfg.bloom_bits_per_key),
+            None, partition_checksum(body), 0.0, stats["encode_sec"],
+            round(_time.time() - t0, 3), path, _time.time(),
+            stats["schema_json"])
+
+
+def merge_updates(spark: SparkSession, updates_df: DataFrame,
+                  out_dir: str, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """MERGE (upsert by url) — Iceberg-style row-level update as
+    copy-on-write at partition granularity; the engine analog of the
+    reference's rewrite-on-reorg (skar_runner.rs:160-232 walks back and
+    re-writes exactly the affected folders, never the table).
+
+    A url's partition is a pure function of the url: host bucket via
+    the PERSISTED salt map + plan (`_replan_with_stored`). So an
+    upserted row lands in the same partition that holds its previous
+    version, and the rewrite set is exactly the partitions the updates
+    plan into — located from plan metadata, without scanning the table.
+    Those partitions are decoded (partition-targeted scan), previous
+    versions of the updated urls anti-joined out, the updates unioned
+    in, and just those partitions re-encoded under a fresh attempt;
+    lineage supersede-by-latest flips each partition atomically. At
+    10^12-doc scale a p-partition upsert therefore costs O(p) partition
+    rewrites, not a table rewrite.
+
+    New urls INSERT into their planned partition; columns the table
+    does not yet have trigger add-column schema evolution at commit
+    (engine/schema_evo.py), with pre-existing rows null-filled; columns
+    the updates omit are null-filled on the updated rows. Duplicate
+    urls within one updates batch are rejected (latest-wins would be
+    order-dependent inside a single batch).
+
+    With ``cfg.retain_superseded`` the pre-merge snapshot stays
+    readable via ``scan(as_of=...)`` until ``vacuum`` — time travel
+    across a merge.
+    """
+    from skar_spark.engine.compact import assert_not_compacted
+    from skar_spark.engine.decode import scan
+
+    assert_not_compacted(out_dir, "merge")
+    if (updates_df.groupBy("url").count()
+            .filter(F.col("count") > 1).limit(1).count()):
+        raise ValueError("updates contain duplicate urls — resolve "
+                         "latest-wins upstream (one row per url)")
+    meta = load_plan_meta(out_dir)
+    if meta is None:
+        # streamed tables plan per epoch (no stored url→partition
+        # function), so the rewrite set cannot be located from metadata
+        raise NotImplementedError(
+            "merge_updates requires a batch-encoded table with stored "
+            "plan metadata; streamed tables have per-epoch plans — "
+            "compact first, then re-encode, or use reencode_late")
+    if meta.get("scheme") == "day_hash":
+        # day_hash partitions are a function of (day(warc_ts), host):
+        # an update that moves a url's day would leave the OLD version
+        # alive in a partition the update never plans into. Upsert-by-
+        # url needs the hash scheme's url→partition pure function (or a
+        # url→partition index, which the engine does not keep).
+        raise NotImplementedError(
+            "merge_updates requires the hash partition scheme; on a "
+            "day_hash table use reencode_late with the corrected "
+            "full dataset")
+    planned_upd, _meta = _replan_with_stored(spark, updates_df, out_dir,
+                                             cfg)
+    affected = [r.part_id for r in
+                planned_upd.select("part_id").distinct().collect()]
+    if not affected:
+        return read_lineage(spark, out_dir, latest=True)
+    existing = scan(spark, out_dir, part_ids=set(affected))
+    keep = existing.join(updates_df.select("url").distinct(),
+                         "url", "left_anti")
+    corrected = keep.unionByName(updates_df, allowMissingColumns=True)
+    return _rewrite_partitions(spark, out_dir, cfg, affected, corrected,
+                               "merge")
+
+
+def delete_rows(spark: SparkSession, urls_df: DataFrame, out_dir: str,
+                cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """DELETE by url set — the curation-pipeline primitive (drop
+    policy-violating / deduplicated documents from an encoded table)
+    as copy-on-write at partition granularity, same machinery as
+    merge_updates. `urls_df` needs one column: url. Partitions that
+    lose ALL rows are superseded by a zero-row part, so readers (scan,
+    paged scan, DataSource) see the deletion without special cases.
+    """
+    from skar_spark.engine.compact import assert_not_compacted
+    from skar_spark.engine.decode import scan
+
+    assert_not_compacted(out_dir, "delete")
+    meta = load_plan_meta(out_dir)
+    if meta is None:
+        raise NotImplementedError(
+            "delete_rows requires a batch-encoded table with stored "
+            "plan metadata; streamed tables have per-epoch plans — "
+            "compact first, then re-encode, or use reencode_late")
+    if meta.get("scheme") == "day_hash":
+        raise NotImplementedError(
+            "delete_rows requires the hash partition scheme (day_hash "
+            "partition membership depends on warc_ts, which a url set "
+            "does not carry)")
+    planned_del, _meta = _replan_with_stored(
+        spark, urls_df.select("url"), out_dir, cfg)
+    affected = [r.part_id for r in
+                planned_del.select("part_id").distinct().collect()]
+    if not affected:
+        return read_lineage(spark, out_dir, latest=True)
+    existing = scan(spark, out_dir, part_ids=set(affected))
+    keep = existing.join(urls_df.select("url").distinct(),
+                         "url", "left_anti")
+    return _rewrite_partitions(spark, out_dir, cfg, affected, keep,
+                               "delete")

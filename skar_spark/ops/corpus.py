@@ -36,6 +36,14 @@ using the portable md5-60bit hash (textops.h60) where hashing is needed.
 - **leakage-safe split** (`q_split_assign`): train/val/test assignment
   hashed at SOURCE granularity (every doc of a source lands in the same
   split — the standard guard against near-dup leakage across splits).
+- **PII redaction** (`q_pii_redact`): count-then-mask emails / IPv4s /
+  phone spans per document (the C4/Dolma pre-release scrub). Pure
+  projection, three regex passes per row, zero exchanges; patterns are
+  restricted to the Java-regex ∩ RE2 common subset so the DuckDB oracle
+  redacts identically. The synthetic corpus has no PII, so the op
+  deterministically plants one of each kind in 2/3 of the docs (both
+  engines plant the same spans) — the redaction is exercised, not
+  vacuous.
 - **heavy hitters** (`q_heavy_hitters`): exact global top-20 tokens by
   frequency — explode + map-side-combinable count + TakeOrdered(20)
   (per-partition top-k, driver merges k rows; no global sort).
@@ -476,4 +484,85 @@ WHERE token <> ''
 GROUP BY token
 ORDER BY cnt DESC, token ASC
 LIMIT {_TOPK_TOKENS}
+"""
+
+# --- PII redaction -------------------------------------------------------------
+
+# Conservative ASCII patterns chosen to parse identically under Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repeats,
+# \b and \d only — no backrefs/lookaround (RE2 has neither).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+1-555-\d{4}"
+
+
+def _pii_planted(col="text"):
+    """Deterministically plant one email + phone + IPv4 into 2/3 of the
+    docs (doc_id % 3 != 2) so the redaction is exercised on every run —
+    the synthetic corpus itself contains no PII-shaped spans. The SAME
+    expression is mirrored in the oracle, so both engines redact
+    identical inputs."""
+    did = F.col("doc_id")
+    s = lambda e: e.cast("string")
+    return F.when(
+        F.pmod(did, F.lit(3)) != 2,
+        F.concat(
+            F.col(col), F.lit(" contact u"), s(did),
+            F.lit("@ex"), s(F.pmod(did, F.lit(7))), F.lit(".com tel +1-555-"),
+            F.lpad(s(F.pmod(did, F.lit(10000))), 4, "0"),
+            F.lit(" ip 10."), s(F.pmod(did, F.lit(256))),
+            F.lit("."), s(F.pmod(did * 7, F.lit(256))), F.lit(".9"))
+    ).otherwise(F.col(col))
+
+
+def q_pii_redact(spark, sf):
+    """PII scrub (C4/Dolma-style pre-release step): count then mask
+    emails, IPv4s and NANP-style phone spans per document. Pure
+    projection — three `regexp_replace` passes per row, zero exchanges;
+    at 100 TB this pipelines with any other map stage. Counts are taken
+    BEFORE masking; masking order (email → ip → phone) is part of the
+    op's contract since masks could otherwise create/destroy later
+    matches."""
+    d = load(spark, sf, "documents")
+    planted = _pii_planted()
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IPV4), F.lit("<IP>")),
+        F.lit(_PII_PHONE), F.lit("<PHONE>"))
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_PII_EMAIL)).cast("long")
+         .alias("n_emails"),
+        F.regexp_count(planted, F.lit(_PII_IPV4)).cast("long")
+         .alias("n_ips"),
+        F.regexp_count(planted, F.lit(_PII_PHONE)).cast("long")
+         .alias("n_phones"),
+        F.md5(red).alias("red_md5"))
+
+
+_SQL_PII_PLANTED = """
+CASE WHEN doc_id % 3 <> 2 THEN
+  text || ' contact u' || CAST(doc_id AS VARCHAR)
+       || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com tel +1-555-'
+       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+       || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.9'
+ELSE text END
+"""
+
+SQL_PII_REDACT = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(planted, '{_PII_EMAIL}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(planted, '{_PII_IPV4}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(planted, '{_PII_PHONE}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(planted, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g')) AS red_md5
+FROM (SELECT doc_id, {_SQL_PII_PLANTED} AS planted FROM documents) p
 """

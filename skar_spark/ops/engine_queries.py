@@ -272,3 +272,87 @@ SQL_ENGINE_DAY_HASH = f"""
 SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 WHERE doc_id >= 72 AND doc_id < 240
 """
+
+
+def _with_doc_id(df):
+    """Recover doc_id from the lifted url (…/<doc_id>) — lets the merge/
+    delete fixtures pick deterministic row sets that the DuckDB oracle
+    reproduces directly from the documents table."""
+    return df.withColumn(
+        "doc_id", F.element_at(F.split("url", "/"), -1).cast("long"))
+
+
+def q_engine_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE (upsert by url), hash-verified end-to-end: encode
+    the webtext table, upsert ``text || ' [rev2]'`` for doc_id % 11 = 0
+    and INSERT new urls (``url || '/v2'``, ``'ins:' || text``) for
+    doc_id % 13 = 1 via ``merge_updates`` (copy-on-write of exactly the
+    affected host-bucket partitions — engine/encode.py), then emit
+    (url, md5(text)) from the DECODED post-merge table. The oracle
+    computes the merged corpus relationally."""
+    import shutil as _sh
+
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.encode import encode_documents, merge_updates
+
+    out = _out_dir(sf_dir) + "_merge"
+    _sh.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=5_000, max_row_group_size=2_000,
+                       salt_threshold_rows=4_000)
+    docs = webtext_from_documents(spark, sf_dir)
+    encode_documents(spark, docs, out, cfg, n_rows=docs.count())
+
+    base = _with_doc_id(docs)
+    updates = (base.filter(F.pmod("doc_id", F.lit(11)) == 0)
+               .withColumn("text", F.concat("text", F.lit(" [rev2]"))))
+    inserts = (base.filter(F.pmod("doc_id", F.lit(13)) == 1)
+               .withColumn("url", F.concat("url", F.lit("/v2")))
+               .withColumn("text", F.concat(F.lit("ins:"), F.col("text"))))
+    merge_updates(spark, updates.unionByName(inserts).drop("doc_id"),
+                  out, cfg)
+    dec = scan(spark, out)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_MERGE = f"""
+SELECT url, md5(text) AS text_md5 FROM (
+  SELECT {_SQL_URL} AS url,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END
+           AS text
+  FROM documents
+  UNION ALL
+  SELECT {_SQL_URL} || '/v2' AS url, 'ins:' || text AS text
+  FROM documents WHERE doc_id % 13 = 1
+)
+"""
+
+
+def q_engine_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE, hash-verified: encode the webtext table, delete
+    every url with doc_id % 7 = 0 via ``delete_rows`` (partition-targeted
+    copy-on-write; a fully-emptied partition is superseded by a zero-row
+    part), then emit (url, md5(text)) of the survivors from the decoded
+    table."""
+    import shutil as _sh
+
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.encode import delete_rows, encode_documents
+
+    out = _out_dir(sf_dir) + "_delete"
+    _sh.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=5_000, max_row_group_size=2_000,
+                       salt_threshold_rows=4_000)
+    docs = webtext_from_documents(spark, sf_dir)
+    encode_documents(spark, docs, out, cfg, n_rows=docs.count())
+
+    doomed = (_with_doc_id(docs)
+              .filter(F.pmod("doc_id", F.lit(7)) == 0).select("url"))
+    delete_rows(spark, doomed, out, cfg)
+    dec = scan(spark, out)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_DELETE = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+WHERE doc_id % 7 <> 0
+"""

@@ -143,3 +143,30 @@ def test_vocab_encode_broadcast_and_unk(spark):
     # K below the corpus vocabulary → the UNK path actually fires
     assert any(r["n_unk"] > 0 for r in rows)
     assert all(0 <= r["n_unk"] <= r["n_tokens"] for r in rows)
+
+
+def test_pii_redact_masks_everything_no_exchange(spark):
+    df = corpus.q_pii_redact(spark, SF)
+    # pure projection: no exchange anywhere in the plan
+    assert "Exchange" not in _plan(df)
+    # planted docs (doc_id % 3 != 2) carry exactly one of each PII kind;
+    # the rest carry none
+    rows = df.collect()
+    for r in rows:
+        want = 1 if r.doc_id % 3 != 2 else 0
+        assert (r.n_emails, r.n_ips, r.n_phones) == (want,) * 3, r
+    # nothing PII-shaped survives masking
+    from skar_spark.ops.corpus import (_PII_EMAIL, _PII_IPV4, _PII_PHONE,
+                                       _pii_planted)
+    red = corpus.load(spark, SF, "documents").select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(_pii_planted(), F.lit(_PII_EMAIL),
+                                 F.lit("<EMAIL>")),
+                F.lit(_PII_IPV4), F.lit("<IP>")),
+            F.lit(_PII_PHONE), F.lit("<PHONE>")).alias("red"))
+    leftover = red.select(
+        (F.regexp_count("red", F.lit(_PII_EMAIL))
+         + F.regexp_count("red", F.lit(_PII_IPV4))
+         + F.regexp_count("red", F.lit(_PII_PHONE))).alias("n"))
+    assert leftover.agg(F.sum("n")).collect()[0][0] == 0
