@@ -119,10 +119,14 @@ def main() -> None:
     # so a loaded run is self-explaining (VERDICT r04 item 1).
     load_track["pre_encode"] = _loadavg()
     n_reps = 3 + (1 if load_track["ambient_loaded"] else 0)
-    # adaptive extension (r5): keep repeating (cap 6) while the best is
-    # still improving >8%/rep or the rep saw >3% CPU steal — a transient
-    # neighbor storm mid-bench otherwise becomes the official number
+    # adaptive extension (r5): keep repeating while the best is still
+    # improving >8%/rep (cap 9 — one contended run showed the best rep
+    # still falling 27% at the old cap of 6) or the rep saw >3% CPU
+    # steal (cap 6 — persistent steal won't improve, don't burn reps) —
+    # a transient neighbor storm mid-bench otherwise becomes the
+    # official number
     max_reps = 6
+    max_reps_improving = 9
     reps = []
     rep_loads = []
     rep_steal = []
@@ -135,13 +139,16 @@ def main() -> None:
         reps.append(round(time.time() - t0, 3))
         rep_steal.append(_steal_pct(st0, _cpu_stat()))
         rep_loads.append(_loadavg())
-        if len(reps) == n_reps and n_reps < max_reps:
+        if len(reps) == n_reps:
             improving = (len(reps) >= 2
                          and reps[-1] < 0.92 * min(reps[:-1]))
-            if improving or rep_steal[-1] > 3.0:
+            if improving and n_reps < max_reps_improving:
+                n_reps += 1
+            elif rep_steal[-1] > 3.0 and n_reps < max_reps:
                 n_reps += 1
     load_track["encode_rep_loads"] = rep_loads
     load_track["encode_rep_steal_pct"] = rep_steal
+    n_parts = lin.count()
     enc_sec = min(reps)
     bytes_in, bytes_out = int(agg[0]), int(agg[1])
     timings["encode_job"] = round(enc_sec, 3)
@@ -206,9 +213,11 @@ def main() -> None:
     def _arc_encode():
         shutil.rmtree(aout, ignore_errors=True)
         alin = encode_documents(spark, a_docs, aout, acfg, n_rows=a_rows)
-        return alin.groupBy().sum("bytes_in", "bytes_out").collect()[0]
+        return (alin.groupBy().sum("bytes_in", "bytes_out").collect()[0],
+                alin.count())
 
-    arc_sec, aagg, arc_reps, arc_steals = _best_of(_arc_encode)
+    arc_sec, (aagg, arc_parts), arc_reps, arc_steals = \
+        _best_of(_arc_encode)
     load_track["archive_rep_secs"] = arc_reps
     load_track["archive_rep_steal_pct"] = arc_steals
     timings["encode_archive"] = round(arc_sec, 3)
@@ -309,10 +318,16 @@ def main() -> None:
                 "vs_golden": round(arc_out / max(arc_golden, 1), 3),
             },
             "decode": {
+                # per-core = per CPU the scan can actually occupy: one
+                # task per part file, so a table with fewer parts than
+                # cores must not count the idle cores (the ARCHIVE
+                # quarter table used to read 7× slower than it is)
                 "default_mb_s_core": round(
-                    bytes_in / dec_sec / 1e6 / cpus, 2),
+                    bytes_in / dec_sec / 1e6 / min(cpus, n_parts), 2),
                 "archive_mb_s_core": round(
-                    arc_in / arc_dec_sec / 1e6 / cpus, 2),
+                    arc_in / arc_dec_sec / 1e6 / min(cpus, arc_parts), 2),
+                "n_parts": n_parts,
+                "archive_parts": arc_parts,
             },
             "cpus": cpus,
         },
