@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_day_hash": engine_queries.q_engine_day_hash,
         "engine_merge": engine_queries.q_engine_merge,
         "engine_delete": engine_queries.q_engine_delete,
+        "engine_rollback": engine_queries.q_engine_rollback,
         "engine_lineage": engine_queries.q_engine_lineage,
     }
 
@@ -199,6 +200,9 @@ def oracle_sql() -> dict[str, str]:
         # hash-verified against the relationally-merged corpus (r5)
         "engine_merge": engine_queries.SQL_ENGINE_MERGE,
         "engine_delete": engine_queries.SQL_ENGINE_DELETE,
+        # snapshot rollback: merge then roll back — decode must equal
+        # the untouched corpus byte-for-byte
+        "engine_rollback": engine_queries.SQL_ENGINE_ROLLBACK,
         # engine_lineage: engine-internal schema, rows-only by design
     }
 

@@ -30,7 +30,8 @@ __all__ = ["EngineConfig"]
 #   engine.encode:  encode_documents, reencode_late, read_lineage,
 #                   merge_updates, delete_rows       (row-level upsert/delete,
 #                                                     partition copy-on-write)
-#                   snapshots, vacuum                (write path + snapshots)
+#                   snapshots, vacuum, rollback      (write path + snapshots
+#                                                     + revert-to-timestamp)
 #   engine.decode:  scan, scan_paged, validate_output (read path)
 #   engine.compact: compact_parts                     (cold-tier consolidation)
 #   query:          run_query                         (JSON query handler)

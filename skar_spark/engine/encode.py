@@ -1161,3 +1161,104 @@ def delete_rows(spark: SparkSession, urls_df: DataFrame, out_dir: str,
                          "url", "left_anti")
     return _rewrite_partitions(spark, out_dir, cfg, affected, keep,
                                "delete")
+
+
+def rollback(spark: SparkSession, out_dir: str, as_of: float,
+             delete_files: bool = True) -> DataFrame:
+    """Snapshot ROLLBACK — revert the table to its state as of `as_of`
+    (Iceberg ``rollback_to_timestamp``; the engine analog of the
+    reference's reorg walk-back, skar_runner.rs:160-232, for the whole
+    table instead of a folder range).
+
+    Metadata-only: the lineage table is atomically rewritten to the rows
+    committed at or before `as_of`; no part is decoded or re-encoded, so
+    rolling back a 10^12-doc table costs one lineage rewrite. Undone
+    attempts' part files are deleted afterwards (`delete_files=False`
+    keeps them as unreferenced orphans — they are not reachable through
+    any snapshot once their lineage rows are gone, and `vacuum` does not
+    touch files lineage never mentions).
+
+    Safety: refused unless every kept lineage row's part file is
+    untouched by the undone attempts — true for ``retain_superseded``
+    tables (each attempt writes its own file names) and for streamed
+    epochs (injective per-epoch namespace), but NOT for default batch
+    tables, where a later attempt overwrites the canonical per-pid file
+    in place. The guard is exact (file-set intersection), not a flag
+    check. Compacted tables are refused (the pid high-water marker can't
+    be unwound). A streamed table rolled back across epochs also needs
+    its stream checkpoint removed before the stream may continue —
+    otherwise the source resumes past data the table no longer has.
+
+    Schema: the merged table schema is recomputed from the kept parts'
+    footers, so columns introduced after `as_of` disappear from reads
+    (one footer read per partition — an admin op, metadata-scale).
+    """
+    import shutil as _sh
+
+    from skar_spark.engine.compact import assert_not_compacted
+    from skar_spark.engine.partfile import read_footer
+    from skar_spark.engine.schema_evo import (load_table_schema,
+                                              merge_schema,
+                                              replace_table_schema)
+
+    storage.require_posix(out_dir, "rollback")
+    assert_not_compacted(out_dir, "rollback")
+    lin_all = read_lineage(spark, out_dir)
+    if lin_all is None:
+        raise FileNotFoundError(f"no lineage under {out_dir}")
+    lin_all = lin_all.cache()
+    kept = lin_all.filter(F.col("committed_at") <= float(as_of))
+    dropped = lin_all.filter(F.col("committed_at") > float(as_of))
+    if dropped.limit(1).count() == 0:
+        lin_all.unpersist()
+        return read_lineage(spark, out_dir, latest=True)
+    if kept.limit(1).count() == 0:
+        lin_all.unpersist()
+        raise ValueError(f"rollback to {as_of} precedes the table's "
+                         "first commit")
+    overlap = (dropped.select("file").distinct()
+               .join(kept.select("file").distinct(), "file", "inner"))
+    if overlap.limit(1).count():
+        lin_all.unpersist()
+        raise ValueError(
+            "rollback impossible: post-as_of attempts overwrote kept "
+            "part files in place (the table was not encoded with "
+            "retain_superseded, so the pre-rollback bytes are gone)")
+    dead = [r.file for r in dropped.select("file").distinct().collect()]
+
+    # atomic lineage swap — SAME suffix pair as vacuum, so a crash
+    # between the renames is healed by recover_lineage_swap on the next
+    # read (roll forward to the fully-written new copy)
+    path = lineage_dir(out_dir)
+    tmp, old = path + ".vacuum", path + ".expired"
+    _sh.rmtree(tmp, ignore_errors=True)
+    # sorted rewrite keeps lineage row-group stats seek-able
+    kept.sort("min_warc_ts").write.mode("overwrite").parquet(tmp)
+    lin_all.unpersist()
+    _sh.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    _sh.rmtree(old, ignore_errors=True)
+
+    if load_table_schema(out_dir) is not None:
+        latest_kept = read_lineage(spark, out_dir, latest=True)
+        cols: list[str] | None = None
+        types: dict[str, str] = {}
+        # one footer per PARTITION (metadata-scale admin loop)
+        for r in latest_kept.select("file").collect():
+            fo = read_footer(r.file)
+            if cols is None:
+                cols, types = list(fo["columns"]), dict(fo["schema"])
+            else:
+                cols, types = merge_schema(cols, types, fo["columns"],
+                                           fo["schema"])
+        if cols is not None:
+            replace_table_schema(out_dir, cols, types)
+
+    if delete_files:
+        for f in dead:  # undone attempts' files (metadata-scale)
+            try:
+                os.remove(f)
+            except FileNotFoundError:
+                pass
+    return read_lineage(spark, out_dir, latest=True)

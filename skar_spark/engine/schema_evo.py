@@ -168,3 +168,31 @@ def _update_locked(out_dir: str, cols: list[str],
         cols, types = merged_cols, merged_types
     raise RuntimeError(
         f"schema update did not converge after 8 rounds for {out_dir}")
+
+
+def replace_table_schema(out_dir: str, cols: list[str],
+                         types: dict[str, str]) -> None:
+    """Overwrite (not merge) the table schema — the admin-op variant for
+    operations that legitimately SHRINK it (snapshot rollback: columns
+    introduced after the rollback point must disappear from reads).
+    Versioned like updates: the replaced schema lands in the history, so
+    `describe`-style tooling still shows the full evolution."""
+    with _schema_lock(out_dir):
+        cur = load_table_schema(out_dir)
+        if cur == (list(cols), dict(types)):
+            return
+        p = _schema_path(out_dir)
+        if cur is None:
+            version, history = 1, []
+        else:
+            doc = json.loads(storage.get_bytes(p))
+            version = doc.get("version", 1) + 1
+            history = doc.get("history", []) + [
+                {"version": doc.get("version", 1), "cols": doc["cols"],
+                 "types": doc["types"]}]
+        storage.makedirs(os.path.join(out_dir, "meta"))
+        storage.put_bytes(p, json.dumps({
+            "version": version, "cols": list(cols), "types": dict(types),
+            "history": history, "committed_at": time.time(),
+            "note": "rollback",
+        }).encode())

@@ -356,3 +356,45 @@ SQL_ENGINE_DELETE = f"""
 SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 WHERE doc_id % 7 <> 0
 """
+
+
+def q_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot ROLLBACK, hash-verified end-to-end: encode the webtext
+    table with ``retain_superseded``, run a MERGE that rewrites texts
+    (doc_id % 5 = 0 → ``|| ' [bad-batch]'``) and inserts new urls, then
+    ``rollback`` to the pre-merge timestamp and emit (url, md5(text))
+    from the decoded table. The oracle is the UNTOUCHED documents table:
+    rollback must restore every byte, drop every inserted url, and erase
+    the merge from the readable timeline."""
+    import shutil as _sh
+    import time as _time
+
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.encode import (encode_documents, merge_updates,
+                                          rollback)
+
+    out = _out_dir(sf_dir) + "_rollback"
+    _sh.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=5_000, max_row_group_size=2_000,
+                       salt_threshold_rows=4_000, retain_superseded=True)
+    docs = webtext_from_documents(spark, sf_dir)
+    encode_documents(spark, docs, out, cfg, n_rows=docs.count())
+    t_pre = _time.time()
+    _time.sleep(0.05)
+
+    base = _with_doc_id(docs)
+    updates = (base.filter(F.pmod("doc_id", F.lit(5)) == 0)
+               .withColumn("text", F.concat("text", F.lit(" [bad-batch]"))))
+    inserts = (base.filter(F.pmod("doc_id", F.lit(9)) == 2)
+               .withColumn("url", F.concat("url", F.lit("/bad")))
+               .withColumn("text", F.concat(F.lit("bad:"), F.col("text"))))
+    merge_updates(spark, updates.unionByName(inserts).drop("doc_id"),
+                  out, cfg)
+    rollback(spark, out, t_pre)
+    dec = scan(spark, out)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_ROLLBACK = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+"""
