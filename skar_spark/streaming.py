@@ -83,7 +83,9 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                   max_retries: int = 3,
                   backoff_base_sec: float = 0.5,
                   max_bytes_per_sec: float | None = None,
-                  schema_ddl: str | None = None):
+                  schema_ddl: str | None = None,
+                  auto_compact_every: int | None = None,
+                  compact_profile: EngineConfig | None = None):
     """Continuously encode documents landing as parquet in `input_dir`.
 
     Returns the StreamingQuery. Use `.trigger(availableNow)` semantics:
@@ -106,6 +108,23 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
     sleeps until elapsed ≥ admitted_bytes / rate (a token bucket with
     one-batch burst). Use it to keep a backfill from starving the
     upstream source or saturating the cluster's ingest share.
+
+    `auto_compact_every=K` turns the stream into a self-maintaining
+    table (continuous hot→cold tiering — the reference's flush-to-cold,
+    skar_runner.rs:285-353, run as part of ingest instead of as an
+    offline admin step): every K committed epochs the driver runs
+    ``compact_parts`` (cold codec knobs from `compact_profile`, default
+    ``config.ARCHIVE``), consolidating the small per-epoch parts so
+    their count stays bounded by K instead of growing with stream
+    lifetime — at 10^12 docs an uncompacted epoch-per-file table is
+    unreadable. Compaction runs between micro-batches on the driver's
+    foreachBatch thread (no concurrent writer by construction) and the
+    epoch pid namespace re-bases above each compaction's high-water
+    mark, so appended pids can never collide with compacted ones.
+    Compaction failures are NOT retried into a re-encode (re-running a
+    batch whose parts were already consolidated would duplicate rows);
+    compact_parts is crash-safe and the next stream start resumes
+    above the recorded high-water.
     """
     from skar_spark.engine.compact import (
         compaction_high_water,
@@ -128,6 +147,14 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                 "mark — appended part ids could collide with compacted "
                 "ones")
         pid_floor = hw
+    # mutable floor era: auto-compaction mid-stream raises the floor to
+    # the new high-water and re-bases the epoch offset, so pids stay
+    # injective AND grow linearly with epochs (not floor+epoch·ppb from
+    # zero, which would compound quadratically across compactions). On
+    # restart the floor re-reads the marker and epoch0 resets to 0 —
+    # every new base then exceeds every processed epoch's pids because
+    # checkpointed epoch ids only move forward.
+    pids = {"floor": pid_floor, "epoch0": 0}
     os.makedirs(os.path.join(out_dir, "parts"), exist_ok=True)
     checkpoint = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
 
@@ -167,7 +194,8 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
         # part_id = epoch·parts_per_batch + local_pid never collides, and
         # the file name embeds the epoch so even an id bug could not
         # overwrite another epoch's file. Fail loudly at the int32 bound.
-        base = pid_floor + int(epoch_id) * parts_per_batch
+        base = (pids["floor"]
+                + (int(epoch_id) - pids["epoch0"]) * parts_per_batch)
         if base + parts_per_batch >= 2 ** 31:
             raise OverflowError(
                 f"epoch {epoch_id} exceeds the int32 part-id namespace "
@@ -211,7 +239,7 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                               f"({admitted:.0f} B admitted)",
                               file=sys.stderr)
                         time.sleep(excess)
-                return
+                break
             except Exception as e:
                 # retrying an interrupted/stopped query is wrong — bail
                 if isinstance(e, (KeyboardInterrupt, SystemExit)):
@@ -231,6 +259,23 @@ def stream_encode(spark: SparkSession, input_dir: str, out_dir: str,
                       f"{attempts}/{max_retries} in {delay:.1f}s",
                       file=sys.stderr)
                 time.sleep(delay)
+        # maintenance AFTER the commit, outside the retry loop: a retry
+        # that re-encoded an already-compacted batch would resurrect its
+        # rows under fresh lineage rows (duplicates). compact_parts is
+        # itself crash-safe (marker + atomic swap).
+        if auto_compact_every and (int(epoch_id) + 1) % auto_compact_every == 0:
+            from skar_spark.engine.compact import compact_parts
+            res = compact_parts(spark, out_dir, cfg,
+                                profile=compact_profile)
+            if res["new_parts"]:
+                new_floor = compaction_high_water(out_dir)
+                if new_floor is not None and new_floor > pids["floor"]:
+                    pids["floor"] = new_floor
+                    pids["epoch0"] = int(epoch_id) + 1
+                print(f"[stream_encode] epoch {epoch_id}: auto-compacted "
+                      f"{res['compacted_parts']} parts → "
+                      f"{res['new_parts']} (pid floor {pids['floor']})",
+                      file=sys.stderr)
 
     return (stream.writeStream
             .foreachBatch(process_batch)

@@ -317,3 +317,47 @@ def test_stream_dedup_drops_duplicates_watermark_bounded(spark, tmp_path):
     rows = spark.sql("SELECT url, text FROM dedup_out").collect()
     assert len(rows) == 150  # 240 arrivals, 150 distinct texts
     assert len({r.text for r in rows}) == 150
+
+
+def test_stream_auto_compaction_bounds_parts(spark, tmp_path):
+    """auto_compact_every=K keeps the part count bounded while the
+    stream runs (continuous hot→cold tiering): content stays exactly
+    once, the compaction marker lands mid-stream, post-compaction
+    epochs append above the high-water, and a checkpoint restart with
+    nothing new is a no-op."""
+    import pyarrow.parquet as _pq
+
+    from skar_spark.engine.compact import compaction_high_water, is_compacted
+    from skar_spark.engine.encode import read_lineage
+
+    d = tmp_path / "landing_ac"
+    d.mkdir()
+    for i in range(4):
+        _pq.write_table(synth_batch(np.arange(i * 600, (i + 1) * 600)),
+                        str(d / f"f{i}.parquet"))
+    out = str(tmp_path / "ac_out")
+    cfg = EngineConfig(max_row_group_size=500, target_partition_rows=5000)
+    q = stream_encode(spark, str(d), out, cfg, parts_per_batch=4,
+                      max_files_per_trigger=1, auto_compact_every=2)
+    q.awaitTermination(240)
+
+    assert is_compacted(out)
+    hw = compaction_high_water(out)
+    assert hw is not None and hw > 0
+    dec = scan(spark, out)
+    assert dec.count() == 2400
+    src = spark.read.parquet(str(d)).select("url", "text")
+    back = dec.select("url", "text")
+    assert src.exceptAll(back).count() == 0
+    assert back.exceptAll(src).count() == 0
+    # 4 epochs × 4 parts/epoch = 16 raw parts; compaction ran at epochs
+    # 1 and 3, so the live set must be well below the raw count
+    n_live = read_lineage(spark, out, latest=True) \
+        .filter(F.col("status") == "committed").count()
+    assert n_live < 8, n_live
+
+    # restart with nothing new: exactly-once via checkpoint
+    q2 = stream_encode(spark, str(d), out, cfg, parts_per_batch=4,
+                       max_files_per_trigger=1, auto_compact_every=2)
+    q2.awaitTermination(120)
+    assert scan(spark, out).count() == 2400
