@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk_blocked": dedup.q_cosine_topk_blocked,
         "ann_lsh": dedup.q_ann_lsh,
         "ann_ivf": dedup.q_ann_ivf,
+        "ann_pq": dedup.q_ann_pq,
         # end-to-end dedup decisions (survivor sets, not just pairs)
         "dedup_near": dedup.q_dedup_near,
         "dedup_clusters": dedup.q_dedup_clusters,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk_blocked": dedup.SQL_COSINE_TOPK,
         "ann_lsh": dedup.sql_ann_lsh(),
         "ann_ivf": dedup.sql_ann_ivf(),
+        "ann_pq": dedup.sql_ann_pq(),
         "dedup_near": dedup.sql_dedup_near(),
         "dedup_clusters": dedup.sql_dedup_clusters(),
         "embed_dedup": dedup.sql_embed_dedup(),

@@ -1295,3 +1295,179 @@ SELECT qid, rk, vec_id, cos FROM (
   WHERE a.vec_id != p.qid) t
 WHERE rk <= {_IVF_TOPK}
 """
+
+
+# --- product quantization (PQ) + asymmetric-distance ANN ----------------------
+#
+# The 100 TB answer for embedding STORAGE, not just search: a 64-dim
+# float32 vector is 256 B; its PQ code is _PQ_M bytes (32×). Codebooks
+# are metadata (_PQ_M × _PQ_K 8-dim centroids = 1024 doubles, broadcast
+# once); code assignment is an embarrassingly parallel mapInArrow
+# projection (no shuffle — codes stream out at input partitioning); ADC
+# scoring touches ONLY the codes, so after one encode pass the float
+# corpus never has to be resident again. Reference analog: none (skar
+# has no vector ops) — this extends the training-data-pipeline surface
+# beyond SURVEY §2, next to ann_lsh/ann_ivf.
+#
+# Codebook = stride subsample of the corpus (the IVF quantizer family):
+# k-means has no SQL mirror, and swapping it in trades recall, not
+# correctness — every downstream step here is hash-verified in DuckDB.
+
+_PQ_M = 8           # subspaces → 8-dim subvectors, 8 B/vector codes
+_PQ_K = 16          # centroids per subspace (a 4-bit code space)
+_PQ_TOPK = 10
+_PQ_N_QUERIES = 8
+
+
+def pq_codebook(spark, sf):
+    """(base_df, CB) where CB is the (k, 64) float64 matrix of stride-
+    sampled corpus vectors, cidx-ascending by vec_id; subspace j's
+    centroid c is CB[c, j*8:(j+1)*8]. k rows — driver-side metadata."""
+    import numpy as np
+    import pyarrow.parquet as _pqt
+
+    n = _pqt.ParquetFile(
+        os.path.join(sf, "embeddings.parquet")).metadata.num_rows
+    stride = max(1, n // _PQ_K)
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    rows = (base.filter(F.pmod(F.col("vec_id"), F.lit(stride)) == 0)
+            .orderBy("vec_id").limit(_PQ_K).collect())
+    CB = np.array([r.v for r in rows], np.float64)
+    return base, CB
+
+
+def pq_encode(spark, sf, base=None, CB=None):
+    """(vec_id, codes) with codes = array<int> of length _PQ_M: per
+    subspace, the argmin of the fold-left L2² distance to the 16
+    centroids, ties → smaller centroid index (strict-less update — the
+    SQL mirror's ORDER BY sdist, cidx). One shuffle-free projection."""
+    import numpy as np
+    import pyarrow as pa
+
+    if base is None or CB is None:
+        base, CB = pq_codebook(spark, sf)
+    d = _DIM // _PQ_M
+    k = len(CB)
+
+    def encode_kernel(batches):
+        for batch in batches:
+            nb = batch.num_rows
+            if nb == 0:
+                continue
+            flat = batch.column("v").flatten().to_numpy(
+                zero_copy_only=False)
+            V = flat.reshape(nb, _DIM)
+            codes = np.zeros((nb, _PQ_M), np.int32)
+            for j in range(_PQ_M):      # per SUBSPACE (metadata-size)
+                best = np.full(nb, np.inf)
+                bestc = np.zeros(nb, np.int32)
+                for c in range(k):      # per CENTROID (metadata-size)
+                    acc = np.zeros(nb, np.float64)
+                    for i in range(d):  # fold-left over dims (parity)
+                        diff = V[:, j * d + i] - CB[c, j * d + i]
+                        acc += diff * diff
+                    upd = acc < best    # strict: ties keep smaller c
+                    best[upd] = acc[upd]
+                    bestc[upd] = c
+                codes[:, j] = bestc
+            lst = pa.ListArray.from_arrays(
+                pa.array(np.arange(nb + 1, dtype=np.int32) * _PQ_M),
+                pa.array(codes.reshape(-1)))
+            yield pa.record_batch({
+                "vec_id": batch.column("vec_id"),
+                "codes": lst,
+            })
+
+    return _spread(spark, base).mapInArrow(
+        encode_kernel, schema="vec_id long, codes array<int>")
+
+
+def q_ann_pq(spark, sf):
+    """ANN over 32×-compressed PQ codes with asymmetric distance (ADC):
+    per query, an L2² lookup table per (subspace, centroid) is computed
+    against the FULL-precision query vector, and every corpus vector is
+    scored as the sum of its m=8 table entries — the codes are the only
+    per-row data read. Top-k ranked by (round(adist, 4), vec_id): the
+    rounding makes the 8-term sum order-insensitive across engines and
+    the id tiebreak makes rounded ties deterministic."""
+    from pyspark.sql import Window
+
+    base, CB = pq_codebook(spark, sf)
+    codes = pq_encode(spark, sf, base, CB)
+    d = _DIM // _PQ_M
+    cb = spark.createDataFrame(
+        [(j, c, [float(x) for x in CB[c, j * d:(j + 1) * d]])
+         for j in range(_PQ_M)
+         for c in range(len(CB))],  # codebook: metadata-size (m × k)
+        "j int, cidx int, cv array<double>")
+    q = (base.filter(F.col("vec_id") < _PQ_N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    sub = F.slice(F.col("qv"), F.col("j") * d + 1, d)
+    sdist = F.aggregate(
+        F.zip_with(sub, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qtab = (q.crossJoin(F.broadcast(cb))
+            .select("qid", F.col("j").alias("qj"),
+                    F.col("cidx").alias("qc"), sdist.alias("qdist")))
+    exploded = codes.select(
+        "vec_id", F.posexplode("codes").alias("j", "code"))
+    scored = (exploded.join(F.broadcast(qtab),
+                            (F.col("j") == F.col("qj"))
+                            & (F.col("code") == F.col("qc")))
+              .filter(F.col("qid") != F.col("vec_id"))
+              .groupBy("qid", "vec_id")       # partial agg map-side
+              .agg(F.round(F.sum("qdist"), 4).alias("adist")))
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _PQ_TOPK)
+            .select("qid", "rk", "vec_id", "adist"))
+
+
+def sql_ann_pq(n: int | None = None) -> str:
+    """DuckDB oracle for q_ann_pq: identical stride codebook, fold-left
+    per-subspace L2², argmin tie rules, ADC sum, and top-k window."""
+    if n is None:
+        import pyarrow.parquet as _pqt
+        n = _pqt.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    stride = max(1, n // _PQ_K)
+    d = _DIM // _PQ_M
+    l2 = (f"list_sum(list_transform(range(1, {d} + 1), "
+          f"i -> ({{l}}[i] - {{r}}[i]) * ({{l}}[i] - {{r}}[i])))")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS srcv
+  FROM base WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {_PQ_K}),
+cb AS (
+  SELECT j.range AS j, c.cidx,
+         c.srcv[j.range * {d} + 1 : (j.range + 1) * {d}] AS cv
+  FROM cents c CROSS JOIN range({_PQ_M}) j),
+codes AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT b.vec_id, cb.j, cb.cidx,
+           row_number() OVER (
+             PARTITION BY b.vec_id, cb.j
+             ORDER BY {l2.format(l=f"b.v[cb.j * {d} + 1 : (cb.j + 1) * {d}]", r='cb.cv')}
+                      ASC, cb.cidx ASC) AS rn
+    FROM base b CROSS JOIN cb) t WHERE rn = 1),
+qtab AS (
+  SELECT b.vec_id AS qid, cb.j, cb.cidx,
+         {l2.format(l=f"b.v[cb.j * {d} + 1 : (cb.j + 1) * {d}]", r='cb.cv')} AS qdist
+  FROM base b CROSS JOIN cb WHERE b.vec_id < {_PQ_N_QUERIES})
+SELECT qid, rk, vec_id, adist FROM (
+  SELECT qid, vec_id, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rk
+  FROM (
+    SELECT t.qid, c.vec_id, round(sum(t.qdist), 4) AS adist
+    FROM codes c JOIN qtab t ON t.j = c.j AND t.cidx = c.code
+    WHERE t.qid != c.vec_id
+    GROUP BY t.qid, c.vec_id) s) r
+WHERE rk <= {_PQ_TOPK}
+"""

@@ -1,0 +1,88 @@
+"""Product quantization: code compactness, exact-duplicate retrieval
+through 32×-compressed codes, and the ADC-minimum invariant.
+
+(The ann_pq ↔ DuckDB hash parity is covered by test_queries_oracle.)
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from skar_spark.ops.dedup import (
+    _DIM,
+    _PQ_K,
+    _PQ_M,
+    _PQ_N_QUERIES,
+    pq_codebook,
+    pq_encode,
+    q_ann_pq,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def planted_dups(tmp_path_factory):
+    """240 deterministic vectors where each query q < _PQ_N_QUERIES has
+    an EXACT duplicate at vec_id 100 + q; everything else is random."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    V = rng.standard_normal((240, _DIM)).astype(np.float32)
+    for q in range(_PQ_N_QUERIES):
+        V[100 + q] = V[q]
+    sf_dir = str(tmp_path_factory.mktemp("pq"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(240), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in V],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 240, pa.int32()),
+    }), os.path.join(sf_dir, "embeddings.parquet"))
+    return sf_dir
+
+
+def test_code_compactness():
+    """The whole point at 100 TB: _PQ_M codes of log2(_PQ_K) bits
+    replace _DIM float32s — byte-aligned that is 8 B vs 256 B (32×)."""
+    bits = _PQ_M * math.ceil(math.log2(_PQ_K))
+    assert bits <= 32                      # 4 B packed
+    assert _PQ_M <= _DIM * 4 / 32          # ≥32× byte-aligned
+    assert _DIM % _PQ_M == 0
+
+
+def test_codes_shape_and_determinism(spark, planted_dups):
+    codes = pq_encode(spark, planted_dups).collect()
+    assert len(codes) == 240
+    by_id = {r.vec_id: r.codes for r in codes}
+    for cs in by_id.values():
+        assert len(cs) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in cs)
+    # exact duplicates quantize to identical codes
+    for q in range(_PQ_N_QUERIES):
+        assert by_id[q] == by_id[100 + q], q
+    # a second run is bit-identical (stride codebook is deterministic)
+    again = {r.vec_id: r.codes for r in
+             pq_encode(spark, planted_dups).collect()}
+    assert again == by_id
+
+
+def test_adc_retrieves_exact_duplicate_at_rank_one(spark, planted_dups):
+    """ADC(q, x) = Σ_j table[j][code_j(x)] ≥ Σ_j min_c table[j][c], and
+    q's duplicate attains that minimum (its codes ARE q's argmins), so
+    it must rank first — any tie needs identical codes and then loses
+    the vec_id tiebreak only to a smaller id, which the fixture
+    excludes. This is retrieval THROUGH the compressed representation:
+    the scorer never sees the duplicate's floats."""
+    top = (q_ann_pq(spark, planted_dups)
+           .filter("rk = 1").collect())
+    got = {r.qid: r.vec_id for r in top}
+    assert got == {q: 100 + q for q in range(_PQ_N_QUERIES)}
+
+
+def test_codebook_is_metadata_sized(spark):
+    base, CB = pq_codebook(spark, "/root/testdata/sf0.001")
+    assert CB.shape == (_PQ_K, _DIM)
+    assert CB.nbytes <= 16 * 1024  # broadcastable at any corpus size
