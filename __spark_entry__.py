@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
         "engine_query_handler": engine_queries.q_engine_query_handler,
         "engine_hot_tail": engine_queries.q_engine_hot_tail,
+        "engine_changes": engine_queries.q_engine_changes,
         "engine_day_hash": engine_queries.q_engine_day_hash,
         "engine_merge": engine_queries.q_engine_merge,
         "engine_delete": engine_queries.q_engine_delete,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         # hot-tier union hash-verified: committed ∪ uncommitted tail
         # must equal ALL documents exactly once (r4)
         "engine_hot_tail": engine_queries.SQL_ENGINE_HOT_TAIL,
+        "engine_changes": engine_queries.SQL_ENGINE_CHANGES,
         # range×hash layout + partition-level ts pruning, hash-verified
         "engine_day_hash": engine_queries.SQL_ENGINE_DAY_HASH,
         # row-level MERGE (upsert+insert) and DELETE over the encoded

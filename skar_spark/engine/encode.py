@@ -725,6 +725,54 @@ def completed_part_ids(spark: SparkSession, out_dir: str) -> set[int]:
                .select("partition_id").distinct().collect()}
 
 
+def append_documents(spark: SparkSession, df: DataFrame, out_dir: str,
+                     cfg: EngineConfig = DEFAULT,
+                     parts: int | None = None) -> int:
+    """One-shot COMMITTED append of new rows to an existing table — the
+    batch mirror of one streaming epoch (same plan → encode kernel →
+    driver-side lineage commit path): the new rows are planned alone,
+    encoded above the table's part-id high-water (including the
+    compaction marker's, so appends after hot→cold consolidation never
+    collide), and their lineage lands in one sorted parquet PUT.
+    Existing parts and lineage rows are untouched, so each append is a
+    clean change-feed increment for ``decode.scan_changes``. Returns
+    the number of parts appended.
+
+    Unlike ``encode_documents(resume=True)`` (which FINISHES a planned
+    table), append re-plans from the increment's own stats: partition
+    count and heavy-host salting derive from the new rows only — at
+    10^12-doc table sizes the increment must never pay a planning pass
+    over history."""
+    import uuid as _uuid
+
+    from skar_spark.engine.compact import compaction_high_water
+
+    lin = read_lineage(spark, out_dir)
+    if lin is None:
+        raise FileNotFoundError(
+            f"{out_dir} has no lineage; append_documents requires an "
+            "existing committed table (encode_documents does the first "
+            "load)")
+    mx = lin.agg(F.max("partition_id").alias("m")).collect()[0].m or 0
+    base = max(int(mx), int(compaction_high_water(out_dir) or 0)) + 1
+    if parts is None:
+        n = df.count()
+        parts = max(1, -(-n // cfg.target_partition_rows))
+    if base + parts >= 2 ** 31:
+        raise OverflowError(
+            f"append would exceed the int32 part-id namespace at base "
+            f"{base}; rotate out_dir or widen partition_id to long")
+    planned = plan_partitions(df, parts, cfg)
+    planned = planned.withColumn(
+        "part_id", (F.col("part_id") + F.lit(base)).cast("int"))
+    tag = _uuid.uuid4().hex[:8]
+    footers = planned.groupBy("part_id").applyInArrow(
+        _encode_kernel(out_dir, cfg, f"append-{tag}",
+                       name_fmt=f"part-x{tag}-{{pid:09d}}.skar"),
+        FOOTER_DDL)
+    return append_lineage_rows(footers, out_dir)
+
+
 def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
                      cfg: EngineConfig = DEFAULT,
                      num_parts: int | None = None,

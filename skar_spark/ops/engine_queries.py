@@ -222,6 +222,49 @@ SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 """
 
 
+def q_engine_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed roundtrip, hash-verified: the webtext table is
+    loaded in TWO committed increments (initial encode_documents +
+    append_documents — the batch mirror of a streaming epoch) and read
+    back ONLY through ``scan_changes`` windows split at the first
+    load's commit high-water: (−∞, t1] ∪ (t1, ∞). The windows must
+    partition the table exactly — an overlap double-emits a url and a
+    gap drops one, and either fails the oracle's multiset hash. The
+    second window is additionally asserted to open only the appended
+    partitions (the incremental-read guarantee). Oracle: (url,
+    md5(text)) over ALL documents."""
+    from skar_spark.engine.decode import list_part_files, scan_changes
+    from skar_spark.engine.encode import (append_documents,
+                                          encode_documents, read_lineage)
+
+    out = _out_dir(sf_dir) + "_cdf"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=5_000,
+                       max_row_group_size=2_000, salt_threshold_rows=4_000)
+    lifted = webtext_from_documents(spark, sf_dir)
+    doc_id = F.element_at(F.split("url", "/"), -1).cast("long")
+    first = lifted.filter(F.pmod(doc_id, F.lit(3)) != 2)
+    second = lifted.filter(F.pmod(doc_id, F.lit(3)) == 2)
+    encode_documents(spark, first, out, cfg, n_rows=first.count())
+    t1 = read_lineage(spark, out).agg(
+        F.max("committed_at").alias("t")).collect()[0].t
+    n_appended = append_documents(spark, second, out, cfg)
+
+    s1, s2 = {}, {}
+    era1 = scan_changes(spark, out, until=t1, _stats=s1)
+    era2 = scan_changes(spark, out, since=t1, _stats=s2)
+    assert s2["n_changed_parts"] == n_appended  # increment-only read
+    assert s1["n_changed_parts"] + n_appended \
+        == len(set(list_part_files(out)))
+    dec = era1.unionByName(era2)
+    return dec.select("url", F.md5(F.col("text")).alias("text_md5"))
+
+
+SQL_ENGINE_CHANGES = f"""
+SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
+"""
+
+
 def q_engine_day_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The range×hash layout end-to-end, hash-verified: webtext lifted
     with one document per HOUR (so the corpus spans weeks), encoded
