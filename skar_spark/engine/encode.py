@@ -753,10 +753,22 @@ def append_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             f"{out_dir} has no lineage; append_documents requires an "
             "existing committed table (encode_documents does the first "
             "load)")
+    meta = load_plan_meta(out_dir)
+    if meta and meta.get("scheme") == "day_hash":
+        # a day_hash table's partition ids are a pure function of
+        # (day(warc_ts), host bucket) — delete_rows/reencode_late locate
+        # partitions by recomputing it. Hash-planned appended parts
+        # would break that invariant silently; late data on day_hash
+        # tables goes through reencode_late instead.
+        raise ValueError(
+            "append_documents supports hash-scheme tables only; "
+            "day_hash tables take late data via reencode_late")
     mx = lin.agg(F.max("partition_id").alias("m")).collect()[0].m or 0
     base = max(int(mx), int(compaction_high_water(out_dir) or 0)) + 1
     if parts is None:
         n = df.count()
+        if n == 0:
+            return 0  # empty increment: no parts, no lineage batch
         parts = max(1, -(-n // cfg.target_partition_rows))
     if base + parts >= 2 ** 31:
         raise OverflowError(

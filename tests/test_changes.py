@@ -106,3 +106,24 @@ def test_append_requires_existing_table(spark, tmp_path):
     docs = synth_documents(spark, 50, partitions=1)
     with pytest.raises(FileNotFoundError, match="lineage"):
         append_documents(spark, docs, str(tmp_path / "nope"), CFG)
+
+
+def test_append_rejects_day_hash_tables(spark, tmp_path):
+    """day_hash partition ids are a pure function of (day, host bucket);
+    hash-planned appends would silently break the invariant delete_rows
+    and reencode_late locate partitions by."""
+    out = str(tmp_path / "dh")
+    docs = synth_documents(spark, 300, partitions=2)
+    encode_documents(spark, docs, out, CFG, n_rows=300, scheme="day_hash")
+    with pytest.raises(ValueError, match="day_hash"):
+        append_documents(spark, docs, out, CFG)
+
+
+def test_append_empty_increment_is_noop(spark, table):
+    out, _t1, _n, _docs = table
+    before = scan(spark, out).count()
+    lin_before = read_lineage(spark, out).count()
+    docs = synth_documents(spark, 10, partitions=1).limit(0)
+    assert append_documents(spark, docs, out, CFG) == 0
+    assert scan(spark, out).count() == before
+    assert read_lineage(spark, out).count() == lin_before
