@@ -231,7 +231,8 @@ def submit_encode(total_cores: int, docs: int, inp: str, tag: str,
            "--cpus", str(total_cores), "--master", MASTER_URL,
            "--partitions", str(partitions), "--warmup",
            "--repeats", str(job_repeats)]
-    load0 = _ambient_gate(thr=2.5)
+    load0 = _ambient_gate(thr=float(os.environ.get(
+        "SKAR_SCALING_AMBIENT_THR", "2.5")))
     stat0 = _cpu_stat()
     p = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd=REPO, timeout=timeout)

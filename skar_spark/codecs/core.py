@@ -13,6 +13,12 @@ BASELINE.json's input_hint; per-row Python is banned by construction):
                k-th byte of every value grouped into stream k, then zstd
                — exponent/sign bytes compress far better separated from
                mantissa noise. Bit-exact (a pure byte permutation).
+    alp        adaptive decimal scaling (ALP, SIGMOD 2024): floats that
+               were born as short decimals become small integers +
+               FOR/bitpack; non-round-tripping values are positional
+               exceptions. See alp.py — encoder-verified bit-exact.
+    alprd      ALP "real doubles" cut-point variant for true-real data
+               (embeddings): high bits dictionary + raw low bits.
   string / binary:
     plain      offsets (delta+bitpack) + data buffer (+zstd)
     fsst       sampled-symbol-table byte compression (see fsst.py)
@@ -32,18 +38,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from skar_spark.codecs import alp as ALP
 from skar_spark.codecs import framing as FR
 from skar_spark.codecs import fsst as FSST
 from skar_spark.codecs import primitives as P
 from skar_spark.config import DEFAULT, EngineConfig
 
 INT_CODECS = ("plain", "rle", "bitpack", "for_delta")
-FLOAT_CODECS = ("plain", "rle", "bss")
+FLOAT_CODECS = ("plain", "rle", "bss", "alp", "alprd")
 BOOL_CODECS = ("plain",)
 STR_CODECS = ("plain", "fsst", "dict")
 
 
-LIST_FLOAT_CODECS = ("plain", "bss")
+LIST_FLOAT_CODECS = ("plain", "bss", "alp", "alprd")
 
 
 def codecs_for(tcode: str) -> tuple[str, ...]:
@@ -189,6 +196,12 @@ def _encode_payload(arr: pa.Array, tcode: str, codec: str,
         f, r, w, obuf = P.delta_encode(offs)
         cdt = FR.numpy_dtype_for(tcode.split(":", 1)[1])
         vals = P.numeric_values(child, cdt)
+        if codec in ("alp", "alprd"):
+            # flat child through the float codec; offsets buffer LAST
+            enc = ALP.encode if codec == "alp" else ALP.rd_encode
+            ameta, asecs = enc(vals)
+            return {"o": [int(f), int(r), int(w)], "nv": len(vals),
+                    "am": ameta}, asecs + [obuf]
         if codec == "plain":
             vbuf = vals.tobytes()
         elif codec == "bss":
@@ -207,6 +220,10 @@ def _encode_payload(arr: pa.Array, tcode: str, codec: str,
     dt = FR.numpy_dtype_for(tcode)
     vals = P.numeric_values(arr, dt)
     if FR.is_float_code(tcode):
+        if codec == "alp":
+            return ALP.encode(vals)
+        if codec == "alprd":
+            return ALP.rd_encode(vals)
         if codec == "plain":
             return {}, [vals.tobytes()]
         if codec == "rle":
@@ -252,9 +269,13 @@ def _decode_payload(header: dict, sections: list[bytes],
     if FR.is_list_float_code(tcode):
         f, r, w = meta["o"]
         nv = meta["nv"]
-        offs = P.delta_decode(f, r, w, sections[1], n + 1)
         cdt = FR.numpy_dtype_for(tcode.split(":", 1)[1])
-        if codec == "plain":
+        obuf = sections[-1] if codec in ("alp", "alprd") else sections[1]
+        offs = P.delta_decode(f, r, w, obuf, n + 1)
+        if codec in ("alp", "alprd"):
+            dec = ALP.decode if codec == "alp" else ALP.rd_decode
+            vals = dec(meta["am"], sections[:-1], nv, cdt)
+        elif codec == "plain":
             vals = np.frombuffer(sections[0], cdt, count=nv)
         elif codec == "bss":
             streams = np.frombuffer(sections[0], np.uint8,
@@ -281,7 +302,11 @@ def _decode_payload(header: dict, sections: list[bytes],
 
     dt = FR.numpy_dtype_for(tcode)
     if FR.is_float_code(tcode):
-        if codec == "plain":
+        if codec == "alp":
+            vals = ALP.decode(meta, sections, n, dt)
+        elif codec == "alprd":
+            vals = ALP.rd_decode(meta, sections, n, dt)
+        elif codec == "plain":
             vals = np.frombuffer(sections[0], dt, count=n)
         elif codec == "bss":
             streams = np.frombuffer(sections[0], np.uint8,
