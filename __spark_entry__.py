@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # engine path — encode → decode through the custom columnar
         # format; roundtrip + pruned scan are hash-verified vs DuckDB
         "encode_roundtrip": engine_queries.q_encode_roundtrip,
+        "alp_roundtrip": engine_queries.q_alp_roundtrip,
         "engine_scan_pruned": engine_queries.q_engine_scan_pruned,
         "engine_query_handler": engine_queries.q_engine_query_handler,
         "engine_hot_tail": engine_queries.q_engine_hot_tail,
@@ -191,6 +192,9 @@ def oracle_sql() -> dict[str, str]:
         # engine path: the decoded output is projected to SQL-expressible
         # columns so the north-rule invariant is hash-verified end-to-end
         "encode_roundtrip": engine_queries.SQL_ENCODE_ROUNDTRIP,
+        # distributed ALP float-codec roundtrip: decoded doubles must
+        # hash-match the raw lineitem columns bit-for-bit
+        "alp_roundtrip": engine_queries.SQL_ALP_ROUNDTRIP,
         "engine_scan_pruned": engine_queries.SQL_ENGINE_SCAN_PRUNED,
         "engine_query_handler": engine_queries.SQL_ENGINE_QUERY_HANDLER,
         # hot-tier union hash-verified: committed ∪ uncommitted tail

@@ -441,3 +441,43 @@ def q_engine_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ENGINE_ROLLBACK = f"""
 SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 """
+
+
+def q_alp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed float-codec roundtrip, hash-verified: every batch of
+    lineitem's decimal columns goes through the auto-selected float
+    codec (ALP on all four — see BENCH.md's codec table) and comes back
+    out; the result is the DECODED values keyed by (l_orderkey,
+    l_linenumber). The DuckDB oracle selects the raw columns, so a
+    value-hash match proves the decimal-scaling codec reproduced every
+    double bit-for-bit across all partitions. The reference has no
+    float-structural codec at all (floats are Encoding::Plain pages,
+    skar/src/write_parquet.rs:49-61) — this lane is engine-new."""
+    import pyarrow as pa
+
+    cols = ["l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax"]
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+
+    def roundtrip(batches):
+        from skar_spark.codecs import canonicalize, decode_array, encode_auto
+        for b in batches:
+            out = []
+            for i, name in enumerate(b.schema.names):
+                col = b.column(i)
+                if pa.types.is_floating(col.type):
+                    _codec, blob = encode_auto(col)
+                    col = decode_array(blob)
+                else:
+                    col = canonicalize(col)
+                out.append(col)
+            yield pa.RecordBatch.from_arrays(out, names=b.schema.names)
+
+    return df.mapInArrow(roundtrip, df.schema)
+
+
+SQL_ALP_ROUNDTRIP = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+       l_discount, l_tax
+FROM lineitem
+"""

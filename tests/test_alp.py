@@ -147,3 +147,42 @@ def test_alp_exponent_choice_prefers_zero_exceptions():
     meta, _ = alp.encode(vals)
     assert (meta["e"], meta["f"]) == (e, f)
     assert meta["nx"] == 0
+
+
+@pytest.mark.spark
+def test_engine_evolved_float_column_picks_alp(spark, tmp_path):
+    """A schema-evolved decimal column flowing through the engine's
+    encode path must get the ALP codec (recorded in lineage
+    codec_choices) and decode bit-exact."""
+    import json
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+    from skar_spark.config import EngineConfig
+    from skar_spark.engine.decode import scan
+    from skar_spark.engine.encode import read_lineage
+    from skar_spark.streaming import stream_encode
+    from skar_spark.synth import DOCS_DDL, synth_batch
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    idx = np.arange(0, 1200)
+    t = synth_batch(idx).append_column(
+        "quality", pa.array(np.round(idx % 997 / 100.0, 2), pa.float64()))
+    pq_.write_table(t, str(land / "a.parquet"))
+    out = str(tmp_path / "tbl")
+
+    q = stream_encode(spark, str(land), out,
+                      EngineConfig(max_row_group_size=2000),
+                      parts_per_batch=1,
+                      schema_ddl=DOCS_DDL + ", quality double")
+    q.awaitTermination(120)
+
+    choices = [json.loads(r.codec_choices)
+               for r in read_lineage(spark, out, latest=True)
+               .select("codec_choices").collect()]
+    assert all(c.get("quality") == "alp" for c in choices), choices
+
+    dec = scan(spark, out, columns=["url", "quality"])
+    want = dict(zip(t["url"].to_pylist(), t["quality"].to_pylist()))
+    got = {r.url: r.quality for r in dec.collect()}
+    assert got == want
