@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": dedup.q_ann_lsh,
         "ann_ivf": dedup.q_ann_ivf,
         "ann_pq": dedup.q_ann_pq,
+        "ann_ivfpq": dedup.q_ann_ivfpq,
         # end-to-end dedup decisions (survivor sets, not just pairs)
         "dedup_near": dedup.q_dedup_near,
         "dedup_clusters": dedup.q_dedup_clusters,
@@ -169,6 +170,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": dedup.sql_ann_lsh(),
         "ann_ivf": dedup.sql_ann_ivf(),
         "ann_pq": dedup.sql_ann_pq(),
+        # IVF-PQ composition: probes bound the lists, ADC reads codes
+        "ann_ivfpq": dedup.sql_ann_ivfpq(),
         "dedup_near": dedup.sql_dedup_near(),
         "dedup_clusters": dedup.sql_dedup_clusters(),
         "embed_dedup": dedup.sql_embed_dedup(),

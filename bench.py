@@ -264,7 +264,8 @@ def main() -> None:
         "left_join", "sessionize", "json_extract",
         "dedup_exact", "token_count", "quality_score", "doc_fingerprint",
         "minhash", "simhash", "lsh_pairs", "ngram_jaccard",
-        "cosine_topk", "ann_lsh", "ann_ivf", "ann_pq", "dedup_near",
+        "cosine_topk", "ann_lsh", "ann_ivf", "ann_pq", "ann_ivfpq",
+        "dedup_near",
         "embed_dedup",
         # r5 additions: sampling/sketch projections + transitive
         # clustering (iterative — several small jobs by design)

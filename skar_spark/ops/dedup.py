@@ -1092,58 +1092,69 @@ def ivf_assign(spark, sf, quant=None):
     return quant, assigned
 
 
-def q_ann_ivf(spark, sf):
-    from pyspark.sql import Window
-
-    quant, assigned = ivf_assign(spark, sf)
-    base = quant["base"]
-    C, cids = quant["C"], quant["cids"]
-
-    q = (base.filter(F.col("vec_id") < _IVF_N_QUERIES)
-         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
-    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+def _arr_norm(c):
+    return F.sqrt(F.aggregate(
         F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
-    def _rank_probe(qdf, cdf, id_col, keep, extra_part=None):
-        """Rank centroids per query by fold-left cosine (Spark
-        aggregate == DuckDB list_sum == the kernel's loop); zero-norm
-        guard (ADVICE r04): DuckDB maps x/0 to NULL (sorts last under
-        DESC); Spark would produce NaN (sorts FIRST under desc) — emit
-        NULL explicitly so both engines rank zero vectors last."""
-        dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
-                           F.lit(0.0), lambda acc, x: acc + x)
-        den = nrm(F.col("qv")) * nrm(F.col("cv"))
-        if extra_part:
-            ranked = qdf.join(F.broadcast(cdf), extra_part)
-        else:
-            ranked = qdf.crossJoin(F.broadcast(cdf))
-        ranked = ranked.withColumn("ccos", F.when(den != 0.0, dotc / den))
-        wq = Window.partitionBy("qid").orderBy(
-            F.col("ccos").desc(), F.col(id_col).asc())
-        return (ranked.withColumn("pr", F.row_number().over(wq))
-                .filter(F.col("pr") <= keep)
-                .select("qid", "qv", id_col))
 
+def _rank_probe(qdf, cdf, id_col, keep, extra_part=None):
+    """Rank centroids per query by fold-left cosine (Spark
+    aggregate == DuckDB list_sum == the kernel's loop); zero-norm
+    guard (ADVICE r04): DuckDB maps x/0 to NULL (sorts last under
+    DESC); Spark would produce NaN (sorts FIRST under desc) — emit
+    NULL explicitly so both engines rank zero vectors last."""
+    from pyspark.sql import Window
+
+    dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    den = _arr_norm(F.col("qv")) * _arr_norm(F.col("cv"))
+    if extra_part:
+        ranked = qdf.join(F.broadcast(cdf), extra_part)
+    else:
+        ranked = qdf.crossJoin(F.broadcast(cdf))
+    ranked = ranked.withColumn("ccos", F.when(den != 0.0, dotc / den))
+    wq = Window.partitionBy("qid").orderBy(
+        F.col("ccos").desc(), F.col(id_col).asc())
+    return (ranked.withColumn("pr", F.row_number().over(wq))
+            .filter(F.col("pr") <= keep)
+            .select("qid", "qv", id_col))
+
+
+def ivf_probes(spark, quant, q):
+    """(qid, qv, cid) — the _IVF_NPROBE inverted lists each query
+    visits; flat or two-level routing per the quantizer shape."""
+    C, cids = quant["C"], quant["cids"]
     if quant["coarse"] is None:
         cdf = spark.createDataFrame(
             [(int(c), [float(x) for x in C[j]])
              for j, c in enumerate(cids)],
             "cid long, cv array<double>")
-        probes = _rank_probe(q, cdf, "cid", _IVF_NPROBE)
-    else:
-        C1, _c1norm, cells = quant["coarse"]
-        cdf1 = spark.createDataFrame(
-            [(int(j), [float(x) for x in C1[j]])
-             for j in range(len(C1))],  # per coarse CENTROID (metadata)
-            "cell long, cv array<double>")
-        cells_probed = _rank_probe(q, cdf1, "cell", _IVF_NPROBE1)
-        # fine centroids of the probed cells only: O(nprobe1·√k) rows
-        fdf = spark.createDataFrame(
-            [(int(cids[j]), int(cells[j]), [float(x) for x in C[j]])
-             for j in range(len(C))],   # per fine CENTROID (metadata)
-            "cid long, cell long, cv array<double>")
-        probes = _rank_probe(cells_probed, fdf, "cid", _IVF_NPROBE,
-                             extra_part=["cell"])
+        return _rank_probe(q, cdf, "cid", _IVF_NPROBE)
+    C1, _c1norm, cells = quant["coarse"]
+    cdf1 = spark.createDataFrame(
+        [(int(j), [float(x) for x in C1[j]])
+         for j in range(len(C1))],  # per coarse CENTROID (metadata)
+        "cell long, cv array<double>")
+    cells_probed = _rank_probe(q, cdf1, "cell", _IVF_NPROBE1)
+    # fine centroids of the probed cells only: O(nprobe1·√k) rows
+    fdf = spark.createDataFrame(
+        [(int(cids[j]), int(cells[j]), [float(x) for x in C[j]])
+         for j in range(len(C))],   # per fine CENTROID (metadata)
+        "cid long, cell long, cv array<double>")
+    return _rank_probe(cells_probed, fdf, "cid", _IVF_NPROBE,
+                       extra_part=["cell"])
+
+
+def q_ann_ivf(spark, sf):
+    from pyspark.sql import Window
+
+    quant, assigned = ivf_assign(spark, sf)
+    base = quant["base"]
+
+    q = (base.filter(F.col("vec_id") < _IVF_N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    nrm = _arr_norm
+    probes = ivf_probes(spark, quant, q)
 
     # score ONLY the probed lists; exact cosine, top-k per query
     cand = probes.join(assigned, "cid").filter(F.col("qid") != F.col("vec_id"))
@@ -1339,15 +1350,23 @@ def pq_codebook(spark, sf):
 
 
 def pq_encode(spark, sf, base=None, CB=None):
-    """(vec_id, codes) with codes = array<int> of length _PQ_M: per
-    subspace, the argmin of the fold-left L2² distance to the 16
+    """(vec_id, ..., codes) with codes = array<int> of length _PQ_M:
+    per subspace, the argmin of the fold-left L2² distance to the 16
     centroids, ties → smaller centroid index (strict-less update — the
-    SQL mirror's ORDER BY sdist, cidx). One shuffle-free projection."""
+    SQL mirror's ORDER BY sdist, cidx). One shuffle-free projection.
+    Every input column except the vector ``v`` passes through, so a
+    pre-partitioned input (e.g. IVF-assigned rows carrying ``cid``)
+    keeps its partitioning — codes stay co-located with their inverted
+    list and the IVF-PQ scorer never shuffles the corpus."""
     import numpy as np
     import pyarrow as pa
 
     if base is None or CB is None:
         base, CB = pq_codebook(spark, sf)
+    keep = [f.name for f in base.schema.fields if f.name != "v"]
+    out_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields if f.name != "v") + ", codes array<int>"
     d = _DIM // _PQ_M
     k = len(CB)
 
@@ -1375,13 +1394,11 @@ def pq_encode(spark, sf, base=None, CB=None):
             lst = pa.ListArray.from_arrays(
                 pa.array(np.arange(nb + 1, dtype=np.int32) * _PQ_M),
                 pa.array(codes.reshape(-1)))
-            yield pa.record_batch({
-                "vec_id": batch.column("vec_id"),
-                "codes": lst,
-            })
+            out = {name: batch.column(name) for name in keep}
+            out["codes"] = lst
+            yield pa.record_batch(out)
 
-    return _spread(spark, base).mapInArrow(
-        encode_kernel, schema="vec_id long, codes array<int>")
+    return _spread(spark, base).mapInArrow(encode_kernel, schema=out_ddl)
 
 
 def q_ann_pq(spark, sf):
@@ -1469,5 +1486,140 @@ SELECT qid, rk, vec_id, adist FROM (
     FROM codes c JOIN qtab t ON t.j = c.j AND t.cidx = c.code
     WHERE t.qid != c.vec_id
     GROUP BY t.qid, c.vec_id) s) r
+WHERE rk <= {_PQ_TOPK}
+"""
+
+
+# --- IVF-PQ: inverted lists + product-quantized codes ------------------------
+
+def q_ann_ivfpq(spark, sf):
+    """IVF-PQ ANN — the canonical 100 TB vector-search layout (FAISS
+    IVFPQ): the IVF coarse quantizer bounds each query to _IVF_NPROBE
+    inverted lists, and scoring inside the probed lists reads ONLY the
+    8-byte PQ codes via the asymmetric-distance table built from the
+    full-precision query. Per query that is O(nprobe · n/k) 4-bit-code
+    lookups instead of O(n) float dot products, touching 8 B/row
+    instead of 256 B. The codes are computed on the IVF-assigned rows
+    with `cid` passed through pq_encode, so list membership and codes
+    stay co-located — the corpus is never shuffled; only the bounded
+    candidate set moves. Hash-verified against the composed DuckDB
+    mirror (quantizer + assignment + probes + codebook + codes + ADC
+    sum, identical tie rules end to end). Reference analog: none (skar
+    has no vector ops); this composes the ann_ivf and ann_pq lanes."""
+    from pyspark.sql import Window
+
+    quant, assigned = ivf_assign(spark, sf)
+    base = quant["base"]
+    _b, CB = pq_codebook(spark, sf)
+    codes = pq_encode(spark, sf, assigned, CB)   # (vec_id, cid, codes)
+    d = _DIM // _PQ_M
+    cb = spark.createDataFrame(
+        [(j, c, [float(x) for x in CB[c, j * d:(j + 1) * d]])
+         for j in range(_PQ_M)
+         for c in range(len(CB))],  # codebook: metadata-size (m × k)
+        "j int, cidx int, cv array<double>")
+    q = (base.filter(F.col("vec_id") < _PQ_N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    probes = ivf_probes(spark, quant, q).select("qid", "cid")
+    sub = F.slice(F.col("qv"), F.col("j") * d + 1, d)
+    sdist = F.aggregate(
+        F.zip_with(sub, F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qtab = (q.crossJoin(F.broadcast(cb))
+            .select(F.col("qid").alias("tqid"), F.col("j").alias("qj"),
+                    F.col("cidx").alias("qc"), sdist.alias("qdist")))
+    cand = (F.broadcast(probes).join(codes.select("vec_id", "cid", "codes"),
+                                     "cid")
+            .filter(F.col("qid") != F.col("vec_id")))
+    exploded = cand.select(
+        "qid", "vec_id", F.posexplode("codes").alias("j", "code"))
+    scored = (exploded.join(
+        F.broadcast(qtab),
+        (F.col("qid") == F.col("tqid")) & (F.col("j") == F.col("qj"))
+        & (F.col("code") == F.col("qc")))
+        .groupBy("qid", "vec_id")        # partial agg map-side
+        .agg(F.round(F.sum("qdist"), 4).alias("adist")))
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(),
+                                          F.col("vec_id").asc())
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _PQ_TOPK)
+            .select("qid", "rk", "vec_id", "adist"))
+
+
+def sql_ann_ivfpq(n: int | None = None) -> str:
+    """DuckDB oracle for q_ann_ivfpq (flat IVF mode): the sql_ann_ivf
+    quantizer/assignment/probe CTEs composed with the sql_ann_pq
+    codebook/codes/ADC CTEs; scoring restricted to probed lists."""
+    if n is None:
+        import pyarrow.parquet as _pqt
+        n = _pqt.ParquetFile(
+            "/root/testdata/sf0.01/embeddings.parquet").metadata.num_rows
+    k = ivf_n_lists(n)
+    assert k <= _IVF_MAX_LISTS, "oracle mirrors flat IVF mode only"
+    m = max(1, n // k)
+    stride = max(1, n // _PQ_K)
+    d = _DIM // _PQ_M
+    dot = (f"list_sum(list_transform(range(1, {_DIM} + 1), "
+           f"i -> {{l}}[i] * {{r}}[i]))")
+    nrm = "sqrt(list_sum(list_transform({v}, x -> x * x)))"
+    l2 = (f"list_sum(list_transform(range(1, {d} + 1), "
+          f"i -> ({{l}}[i] - {{r}}[i]) * ({{l}}[i] - {{r}}[i])))")
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, v AS cv FROM base
+  WHERE vec_id % {m} = 0 ORDER BY vec_id LIMIT {k}),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT b.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY {dot.format(l='b.v', r='c.cv')}
+                      / ({nrm.format(v='b.v')} * {nrm.format(v='c.cv')})
+                      DESC, c.cid ASC) AS rn
+    FROM base b CROSS JOIN cents c) t WHERE rn = 1),
+q AS (SELECT vec_id AS qid, v AS qv FROM base
+      WHERE vec_id < {_PQ_N_QUERIES}),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY {dot.format(l='q.qv', r='c.cv')}
+                      / ({nrm.format(v='q.qv')} * {nrm.format(v='c.cv')})
+                      DESC, c.cid ASC) AS pr
+    FROM q CROSS JOIN cents c) t WHERE pr <= {_IVF_NPROBE}),
+pcents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, v AS srcv
+  FROM base WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {_PQ_K}),
+cb AS (
+  SELECT j.range AS j, c.cidx,
+         c.srcv[j.range * {d} + 1 : (j.range + 1) * {d}] AS cv
+  FROM pcents c CROSS JOIN range({_PQ_M}) j),
+codes AS (
+  SELECT vec_id, j, cidx AS code FROM (
+    SELECT b.vec_id, cb.j, cb.cidx,
+           row_number() OVER (
+             PARTITION BY b.vec_id, cb.j
+             ORDER BY {l2.format(l=f"b.v[cb.j * {d} + 1 : (cb.j + 1) * {d}]", r='cb.cv')}
+                      ASC, cb.cidx ASC) AS rn
+    FROM base b CROSS JOIN cb) t WHERE rn = 1),
+qtab AS (
+  SELECT b.vec_id AS qid, cb.j, cb.cidx,
+         {l2.format(l=f"b.v[cb.j * {d} + 1 : (cb.j + 1) * {d}]", r='cb.cv')} AS qdist
+  FROM base b CROSS JOIN cb WHERE b.vec_id < {_PQ_N_QUERIES})
+SELECT qid, rk, vec_id, adist FROM (
+  SELECT qid, vec_id, adist,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY adist ASC, vec_id ASC) AS rk
+  FROM (
+    SELECT p.qid, a.vec_id, round(sum(t.qdist), 4) AS adist
+    FROM probes p JOIN assigned a USING (cid)
+    JOIN codes c ON c.vec_id = a.vec_id
+    JOIN qtab t ON t.qid = p.qid AND t.j = c.j AND t.cidx = c.code
+    WHERE a.vec_id != p.qid
+    GROUP BY p.qid, a.vec_id) s) r
 WHERE rk <= {_PQ_TOPK}
 """

@@ -86,3 +86,53 @@ def test_codebook_is_metadata_sized(spark):
     base, CB = pq_codebook(spark, "/root/testdata/sf0.001")
     assert CB.shape == (_PQ_K, _DIM)
     assert CB.nbytes <= 16 * 1024  # broadcastable at any corpus size
+
+
+def test_ivfpq_retrieves_exact_duplicate_at_rank_one(spark, planted_dups):
+    """The IVF-PQ composition preserves the ADC-minimum retrieval
+    invariant: an exact duplicate quantizes to the query's own inverted
+    list (same vector → same argmax cid), the query's rank-1 probe IS
+    that list, and within the probed candidates the duplicate attains
+    the ADC minimum — so rank 1, end to end through 8-byte codes."""
+    from skar_spark.ops.dedup import q_ann_ivfpq
+
+    top = q_ann_ivfpq(spark, planted_dups).filter("rk = 1").collect()
+    got = {r.qid: r.vec_id for r in top}
+    assert got == {q: 100 + q for q in range(_PQ_N_QUERIES)}
+
+
+def test_ivfpq_scores_only_probed_lists(spark, planted_dups):
+    """The scored candidate set must be the probed lists only — the
+    sub-linear-work contract that distinguishes IVF-PQ from flat ADC."""
+    from pyspark.sql import functions as F
+    from skar_spark.ops.dedup import (_IVF_NPROBE, ivf_assign, ivf_probes,
+                                      q_ann_ivfpq)
+
+    quant, assigned = ivf_assign(spark, planted_dups)
+    n, k = quant["n"], quant["k"]
+    q = (quant["base"].filter(F.col("vec_id") < _PQ_N_QUERIES)
+         .select(F.col("vec_id").alias("qid"), F.col("v").alias("qv")))
+    probes = ivf_probes(spark, quant, q).select("qid", "cid")
+    cand = probes.join(assigned.select("vec_id", "cid"), "cid").count()
+    full = _PQ_N_QUERIES * n
+    assert cand < 0.55 * full, (cand, full)  # nprobe/k of the corpus
+    # and every scored row in the query output is from a probed list
+    out = q_ann_ivfpq(spark, planted_dups)
+    probed = {(r.qid, r.cid) for r in probes.collect()}
+    by_cid = {r.vec_id: r.cid for r in assigned.select(
+        "vec_id", "cid").collect()}
+    for r in out.collect():
+        assert (r.qid, by_cid[r.vec_id]) in probed
+
+
+def test_pq_encode_passes_through_partition_columns(spark, planted_dups):
+    """pq_encode must carry non-vector columns (the IVF cid) so codes
+    stay co-located with their inverted list — no corpus shuffle."""
+    from skar_spark.ops.dedup import ivf_assign
+
+    _quant, assigned = ivf_assign(spark, planted_dups)
+    _base, CB = pq_codebook(spark, planted_dups)
+    codes = pq_encode(spark, planted_dups, assigned, CB)
+    assert set(codes.columns) == {"vec_id", "cid", "codes"}
+    rows = codes.select("vec_id", "cid", "codes").limit(5).collect()
+    assert all(len(r.codes) == _PQ_M for r in rows)
