@@ -481,3 +481,52 @@ SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
        l_discount, l_tax
 FROM lineitem
 """
+
+
+def q_engine_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only table stats, hash-verified: per-day document
+    counts answered from the LINEAGE TABLE ALONE — no part file is
+    opened. Under the day_hash layout every partition holds exactly one
+    day (partition id = day(warc_ts) × host bucket), so grouping
+    lineage row_counts by the day of each part's zone-map min_warc_ts
+    reproduces the corpus's day histogram. This is the Iceberg
+    manifest-stats analog: at 10^12 docs the lineage is ~10^5 rows of
+    metadata while the table is ~PBs — COUNT/GROUP BY day costs O(parts),
+    not O(rows). The DuckDB oracle computes the same histogram from the
+    raw documents table, so the value-hash match proves the metadata
+    path agrees with the data. Reference analog: folder-name block
+    ranges used for pruning (skar/src/build_parquet_idx.rs) — here the
+    stats themselves are served from the index."""
+    from skar_spark.engine.encode import encode_documents, read_lineage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lifted = d.select(
+        F.concat(F.lit("https://docs-"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".local/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("doc_id").cast("int"))
+         ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"), F.col("lang"))
+
+    out = _out_dir(sf_dir) + "_daycounts"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=64, max_row_group_size=64,
+                       salt_threshold_rows=64)
+    encode_documents(spark, lifted, out, cfg, scheme="day_hash",
+                     n_rows=lifted.count())
+
+    lin = read_lineage(spark, out, latest=True)
+    return (lin.groupBy(
+        F.date_format("min_warc_ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.sum("row_count").alias("n_docs")))
+
+
+SQL_ENGINE_DAY_COUNTS = """
+SELECT strftime(date_trunc('day', TIMESTAMP '2024-01-01 00:00:00'
+                + doc_id * INTERVAL 1 HOUR), '%Y-%m-%d') AS day,
+       count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
