@@ -43,6 +43,21 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
         raise ValueError(
             f"bitpack buffer truncated: {len(buf)} bytes < {need} "
             f"needed for {n} values x {width} bits")
+    if 5 <= width <= 57:
+        # gather path: read the 8 bytes spanning each value as one
+        # little-endian uint64, shift by the sub-byte offset, mask —
+        # ~4 passes regardless of width vs O(width) shift-reduces
+        # below (measured 2.5-14x for widths 5..57; the bit-matrix
+        # path stays faster at 1-4 bits, and widths 58-64 can span
+        # 9 bytes so they keep it too). Bit-identical by the shared
+        # property fuzz.
+        pad = np.zeros(need + 8, np.uint8)
+        pad[:need] = np.frombuffer(buf, np.uint8, count=need)
+        bit_off = np.arange(n, dtype=np.int64) * width
+        shift = (bit_off & 7).astype(U64)
+        chunk = pad[(bit_off >> 3)[:, None] + np.arange(8)]
+        vals = np.ascontiguousarray(chunk).view(U64).ravel()
+        return (vals >> shift) & U64((1 << width) - 1)
     bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width,
                          bitorder="little").reshape(n, width).astype(U64)
     shifts = np.arange(width, dtype=U64)
