@@ -171,3 +171,27 @@ def test_list_float_sliced_input_roundtrip():
     for codec in ("plain", "bss"):
         assert_arrays_equal(decode_array(encode_array(sl, codec)), sl,
                             ("list_slice", codec))
+
+
+def test_pack_unpack_agree_across_all_widths():
+    """pack_bits/unpack_bits round-trip at EVERY width 1..64 — pins the
+    gather fast path (widths 5-57) against the bit-matrix path at both
+    crossovers and the 9-byte-span widths (58-64) that must keep the
+    old path."""
+    import numpy as np
+    from skar_spark.codecs import primitives as P
+
+    rng = np.random.default_rng(17)
+    for width in range(1, 65):
+        hi = (1 << width) - 1
+        vals = rng.integers(0, hi, 1000, dtype=np.uint64,
+                            endpoint=True)
+        vals[:3] = (0, hi, hi >> 1)  # pin the extremes
+        buf = P.pack_bits(vals, width)
+        out = P.unpack_bits(buf, len(vals), width)
+        assert np.array_equal(out, vals), width
+        # truncated buffer still fails loudly on both paths
+        if len(buf) > 1:
+            import pytest as _pt
+            with _pt.raises(ValueError, match="truncated"):
+                P.unpack_bits(buf[:-1], len(vals), width)
