@@ -27,6 +27,14 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
     n = len(vals)
     if n == 0 or width == 0:
         return b""
+    if width % 8 == 0:
+        # byte-aligned: the LSB-first stream is exactly each value's
+        # low width/8 bytes concatenated — a pure slice, no bit math
+        # (identical output bytes; the all-widths round-trip test pins
+        # it against the general path)
+        le = np.ascontiguousarray(vals, dtype="<u8").view(np.uint8)
+        return np.ascontiguousarray(
+            le.reshape(n, 8)[:, : width // 8]).tobytes()
     shifts = np.arange(width, dtype=U64)
     bits = ((vals[:, None] >> shifts) & U64(1)).astype(np.uint8)
     return np.packbits(bits.ravel(), bitorder="little").tobytes()
