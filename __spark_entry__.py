@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_changes": engine_queries.q_engine_changes,
         "engine_day_hash": engine_queries.q_engine_day_hash,
         "engine_day_counts": engine_queries.q_engine_day_counts,
+        "engine_stats_prune": engine_queries.q_engine_stats_prune,
         "engine_merge": engine_queries.q_engine_merge,
         "engine_delete": engine_queries.q_engine_delete,
         "engine_rollback": engine_queries.q_engine_rollback,
@@ -209,6 +210,8 @@ def oracle_sql() -> dict[str, str]:
         "engine_day_hash": engine_queries.SQL_ENGINE_DAY_HASH,
         # per-day counts served from lineage metadata alone
         "engine_day_counts": engine_queries.SQL_ENGINE_DAY_COUNTS,
+        # numeric column-stats (col_stats zone maps) partition pruning
+        "engine_stats_prune": engine_queries.SQL_ENGINE_STATS_PRUNE,
         # row-level MERGE (upsert+insert) and DELETE over the encoded
         # table — partition-granular copy-on-write, decoded result
         # hash-verified against the relationally-merged corpus (r5)

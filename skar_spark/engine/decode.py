@@ -147,7 +147,9 @@ def prune_partitions(spark: SparkSession, out_dir: str,
                      ts_range: tuple[int, int] | None = None,
                      lang_eq: str | None = None,
                      as_of: float | None = None,
-                     include_hot: bool = False) -> list[str]:
+                     include_hot: bool = False,
+                     col_range: tuple[str, float, float] | None = None
+                     ) -> list[str]:
     """Distributed partition pruning via lineage zone maps + the host and
     lang bloom families — the mirror of the folder index seek
     (db/mod.rs:217-305) + prune_query folder skipping (handler.rs:144-158).
@@ -171,7 +173,8 @@ def prune_partitions(spark: SparkSession, out_dir: str,
 
     files = list_part_files(out_dir)
     hot = set(hot_tail_files(out_dir)) if include_hot else set()
-    no_filters = host_eq is None and ts_range is None and lang_eq is None
+    no_filters = (host_eq is None and ts_range is None
+                  and lang_eq is None and col_range is None)
     # fast path: plain full scans resolve membership from the COMMITTED
     # lineage set read locally (no Spark job) — the same set the stream
     # reader tails. The raw listing alone would over-approximate by
@@ -203,6 +206,17 @@ def prune_partitions(spark: SparkSession, out_dir: str,
         sel = sel.filter(_bloom_probe_udf([host_eq])(F.col("host_bloom")))
     if lang_eq is not None and "lang_bloom" in lin.columns:
         sel = sel.filter(_bloom_probe_udf([lang_eq])(F.col("lang_bloom")))
+    if col_range is not None and "col_stats" in lin.columns:
+        # numeric zone maps for non-layout (evolved) columns: keep a
+        # partition when its [min,max] overlaps [lo,hi) — or when it
+        # has NO stats for the column (pre-evolution rows / hand-built
+        # lineage: null-filled values can't match, but the safe default
+        # is to let the caller's exact filter decide)
+        c, lo, hi = col_range
+        mn = F.get_json_object("col_stats", f"$.{c}[0]").cast("double")
+        mx = F.get_json_object("col_stats", f"$.{c}[1]").cast("double")
+        sel = sel.filter(mn.isNull()
+                         | ((mx >= F.lit(float(lo))) & (mn < F.lit(float(hi)))))
     survived = {r.file for r in sel.select("file").collect()}
     # lineage is the SOURCE OF TRUTH for table membership: a part file
     # with no row in the selected view is either superseded (snapshot

@@ -56,7 +56,7 @@ FOOTER_DDL = (
     "n_row_groups int, host_bloom binary, lang_bloom binary, "
     "text_checksum binary, "
     "sort_sec double, encode_sec double, meta_sec double, file string, "
-    "committed_at double, schema_json string"
+    "committed_at double, schema_json string, col_stats string"
 )
 
 HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]*).*$"
@@ -146,6 +146,11 @@ def append_lineage_rows(footers: "DataFrame", out_dir: str) -> int:
         "file": pa.array([r.file for r in rows], pa.string()),
         "committed_at": pa.array([r.committed_at for r in rows],
                                  pa.float64()),
+        # numeric zone maps for non-layout columns (None for rows from
+        # pre-evolution kernels/tests — readers treat null as "no
+        # stats, not prunable")
+        "col_stats": pa.array([getattr(r, "col_stats", None)
+                               for r in rows], pa.string()),
     })
     buf = io.BytesIO()
     _pq.write_table(t, buf)
@@ -435,6 +440,8 @@ def _encode_kernel(out_dir: str, cfg: EngineConfig, attempt: str,
             # column (append_lineage_rows strips it) so old lineage
             # parquet and new coexist schema-stable
             "schema_json": pa.array([stats["schema_json"]], pa.string()),
+            # numeric zone maps for non-layout columns ({} when none)
+            "col_stats": pa.array([stats["col_stats"]], pa.string()),
         })
         return footer
 
@@ -1113,7 +1120,7 @@ def _empty_part_footer(out_dir: str, cfg: EngineConfig, attempt: str,
                                  cfg.bloom_bits_per_key),
             None, partition_checksum(body), 0.0, stats["encode_sec"],
             round(_time.time() - t0, 3), path, _time.time(),
-            stats["schema_json"])
+            stats["schema_json"], stats["col_stats"])
 
 
 def merge_updates(spark: SparkSession, updates_df: DataFrame,

@@ -123,6 +123,24 @@ def write_part_file(path: str, table: pa.Table,
                     import base64
                     rg["hbloom"] = base64.b64encode(partition_host_bloom(
                         hsl, cfg.bloom_bits_per_key)).decode()
+            extra_num = [c for c in cols
+                         if c not in (zone_col, host_col)
+                         and (pa.types.is_integer(table[c].type)
+                              or pa.types.is_floating(table[c].type))]
+            if extra_num and sl.num_rows:
+                # numeric zone maps for non-layout columns (evolved
+                # columns like quality scores): per-row-group min/max,
+                # aggregated part-level into the lineage col_stats —
+                # the Iceberg column-stats analog, so range predicates
+                # prune partitions without opening files
+                import pyarrow.compute as pc
+                ns = {}
+                for c in extra_num:
+                    mn, mx = pc.min(sl[c]).as_py(), pc.max(sl[c]).as_py()
+                    if mn is not None:
+                        ns[c] = [mn, mx]
+                if ns:
+                    rg["nstats"] = ns
             if lang_col in sl.column_names and sl.num_rows:
                 # second bloom family: lang (skewed low-card column, not
                 # in the sort key so no zone maps — bloom over the row
@@ -162,7 +180,25 @@ def write_part_file(path: str, table: pa.Table,
         "schema_json": json.dumps(
             {"cols": cols, "types": footer["schema"]},
             separators=(",", ":")),
+        # part-level numeric zone maps for non-layout columns (union of
+        # the per-row-group nstats above) — lands in lineage so range
+        # predicates prune partitions from metadata alone
+        "col_stats": json.dumps(_merge_nstats(rowgroups),
+                                separators=(",", ":")),
     }
+
+
+def _merge_nstats(rowgroups: list[dict]) -> dict:
+    """Union the per-row-group numeric zone maps into part-level
+    {col: [min, max]} (columns all-null in every group are absent)."""
+    out: dict = {}
+    for rg in rowgroups:
+        for c, (mn, mx) in rg.get("nstats", {}).items():
+            if c in out:
+                out[c] = [min(out[c][0], mn), max(out[c][1], mx)]
+            else:
+                out[c] = [mn, mx]
+    return out
 
 
 def read_footer(path: str) -> dict:

@@ -530,3 +530,60 @@ SELECT strftime(date_trunc('day', TIMESTAMP '2024-01-01 00:00:00'
        count(*) AS n_docs
 FROM documents GROUP BY 1
 """
+
+
+def q_engine_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column-stats pruning (Iceberg column-stats analog),
+    hash-verified: the webtext table carries an extra numeric column
+    (``quality``) that is NOT part of the layout key; its per-part
+    [min,max] lands in the lineage ``col_stats`` zone maps at encode
+    time. A range predicate then prunes partitions from METADATA ALONE
+    (asserted: the surviving set is a strict subset) before the decode
+    touches only those parts; the DuckDB oracle computes the same
+    selection from the raw table. Reference analog: zone-map folder
+    pruning exists only for the block-number layout key
+    (skar/src/db/mod.rs:217-305) — stats-pruning on arbitrary numeric
+    columns is engine-new."""
+    from skar_spark.engine.decode import (_file_part_index,
+                                          prune_partitions, scan)
+    from skar_spark.engine.encode import encode_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lifted = d.select(
+        F.concat(F.lit("https://docs-"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".local/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("doc_id").cast("int"))
+         ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"), F.col("lang"),
+        # numeric non-layout column, correlated with the day so the
+        # day_hash layout makes its zone maps selective (doc_id is the
+        # hour index → quality spans exactly [day, day+1) per part)
+        (F.col("doc_id").cast("double") / F.lit(24.0)).alias("quality"))
+
+    out = _out_dir(sf_dir) + "_statsprune"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(target_partition_rows=64, max_row_group_size=64,
+                       salt_threshold_rows=64)
+    encode_documents(spark, lifted, out, cfg, scheme="day_hash",
+                     n_rows=lifted.count())
+
+    lo, hi = 3.0, 10.0
+    pruned = prune_partitions(spark, out,
+                              col_range=("quality", lo, hi))
+    total = prune_partitions(spark, out)
+    assert 0 < len(pruned) < len(total), (len(pruned), len(total))
+    dec = scan(spark, out,
+               part_ids={_file_part_index(f) for f in pruned})
+    return (dec.filter((F.col("quality") >= lo) & (F.col("quality") < hi))
+            .select("url", "quality"))
+
+
+SQL_ENGINE_STATS_PRUNE = f"""
+SELECT {_SQL_URL} AS url, doc_id / 24.0 AS quality
+FROM documents
+WHERE doc_id / 24.0 >= 3.0 AND doc_id / 24.0 < 10.0
+"""

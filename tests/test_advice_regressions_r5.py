@@ -162,9 +162,10 @@ def test_append_lineage_rows_roundtrip_with_nulls(spark, tmp_path):
         (1, "a1", "committed", 10, "{}", 100, 50, ts,
          ts + dt.timedelta(hours=1), 2, 1, bytearray(b"\x01\x02"),
          None, bytearray(b"\x03"), 0.1, 0.2, 0.3, "parts/p1", 111.5,
-         None),
+         None, None),
         (2, "a1", "committed", 0, "{}", 0, 0, None, None, 0, 0,
-         None, None, None, 0.0, 0.0, 0.0, "parts/p2", 112.5, None),
+         None, None, None, 0.0, 0.0, 0.0, "parts/p2", 112.5, None,
+         None),
     ]
     footers = spark.createDataFrame(rows, FOOTER_DDL)
     assert append_lineage_rows(footers, out) == 2

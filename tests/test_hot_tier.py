@@ -97,7 +97,7 @@ def test_exactly_once_after_epoch_commit(spark, table):
     row = spark.createDataFrame(
         [(900, "e9", "committed", N_HOT, None, None, None, None, None,
           None, None, None, None, None, None, None, None, hot_path,
-          float(2_000_000_000), None)], FOOTER_DDL)
+          float(2_000_000_000), None, None)], FOOTER_DDL)
     row.write.mode("append").parquet(lineage_dir(out))
 
     n_default = scan(spark, out).count()

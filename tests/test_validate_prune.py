@@ -232,3 +232,37 @@ def test_rowgroup_lang_bloom_prunes(spark, tmp_path):
     assert set(de["lang"].to_pylist()) == {"de"}
     none = read_part_file(path, columns=["url"], lang_eq="fr")
     assert none.num_rows == 0
+
+
+def test_col_stats_zone_maps_prune_partitions(spark, tmp_path):
+    """Numeric col_stats zone maps: a range predicate on a non-layout
+    column prunes exactly the non-overlapping partitions; unknown
+    columns and stats-less lineage rows are kept (safe default)."""
+    from pyspark.sql import functions as F
+    from skar_spark.config import EngineConfig
+    from skar_spark.engine.decode import prune_partitions
+    from skar_spark.engine.encode import encode_documents
+    from skar_spark.synth import synth_documents
+
+    docs = synth_documents(spark, 240, partitions=2).withColumn(
+        "hour", F.pmod(F.xxhash64("url"), F.lit(240)).cast("int"))
+    lifted = docs.select(
+        "url",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("hour"))).alias("warc_ts"),
+        "html", "text", "lang",
+        (F.col("hour").cast("double") / 24.0).alias("quality"))
+    out = str(tmp_path / "cs")
+    cfg = EngineConfig(target_partition_rows=32, max_row_group_size=32,
+                       salt_threshold_rows=32)
+    encode_documents(spark, lifted, out, cfg, scheme="day_hash",
+                     n_rows=240)
+
+    total = prune_partitions(spark, out)
+    mid = prune_partitions(spark, out, col_range=("quality", 2.0, 4.0))
+    assert 0 < len(mid) < len(total)
+    none = prune_partitions(spark, out, col_range=("quality", 99.0, 100.0))
+    assert none == []
+    # a column with no recorded stats never prunes
+    unknown = prune_partitions(spark, out, col_range=("nope", 0.0, 1.0))
+    assert sorted(unknown) == sorted(total)
