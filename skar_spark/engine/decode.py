@@ -495,7 +495,8 @@ def scan(spark: SparkSession, out_dir: str,
          lang_eq: str | None = None,
          as_of: float | None = None,
          include_hot: bool = False,
-         part_ids: set[int] | None = None) -> DataFrame:
+         part_ids: set[int] | None = None,
+         col_range: tuple[str, float, float] | None = None) -> DataFrame:
     """Distributed decode: one task per part file, Arrow batches out.
 
     Predicates are EXACT: partitions and row groups that can't match are
@@ -517,7 +518,8 @@ def scan(spark: SparkSession, out_dir: str,
     merge_updates/delete_rows to decode only the partitions they will
     rewrite."""
     files = prune_partitions(spark, out_dir, host_eq, ts_range, lang_eq,
-                             as_of=as_of, include_hot=include_hot)
+                             as_of=as_of, include_hot=include_hot,
+                             col_range=col_range)
     if part_ids is not None:
         files = [f for f in files if _file_part_index(f) in part_ids]
     # merged table schema (meta/schema.json — one driver-side GET, kept
@@ -546,7 +548,7 @@ def scan(spark: SparkSession, out_dir: str,
             for p in batch.column("path").to_pylist():
                 t = read_part_file(p, columns=cols, host_eq=host_eq,
                                    ts_range=ts_range, lang_eq=lang_eq,
-                                   fill_missing=fill)
+                                   fill_missing=fill, col_range=col_range)
                 for rb in t.to_batches(max_chunksize=16384):
                     yield rb
 

@@ -232,7 +232,9 @@ def read_part_file(path: str, columns: list[str] | None = None,
                    ts_range: tuple[int, int] | None = None,
                    lang_eq: str | None = None,
                    exact: bool = True,
-                   fill_missing: dict[str, str] | None = None) -> pa.Table:
+                   fill_missing: dict[str, str] | None = None,
+                   col_range: tuple[str, float, float] | None = None
+                   ) -> pa.Table:
     """Decode a part file with projection + row-group pruning + (by
     default) EXACT predicate semantics.
 
@@ -262,6 +264,8 @@ def read_part_file(path: str, columns: list[str] | None = None,
     need_host = exact and host_eq is not None
     need_ts = exact and ts_range is not None
     need_lang = exact and lang_eq is not None and has_lang
+    need_cr = exact and col_range is not None \
+        and col_range[0] in footer["columns"]
     read_cols = list(cols)
     if need_host and "url" not in read_cols:
         read_cols.append("url")
@@ -269,6 +273,8 @@ def read_part_file(path: str, columns: list[str] | None = None,
         read_cols.append("warc_ts")
     if need_lang and "lang" not in read_cols:
         read_cols.append("lang")
+    if need_cr and col_range[0] not in read_cols:
+        read_cols.append(col_range[0])
     tables = []
     with storage.open_read(path) as f:
         for rg in footer["rowgroups"]:
@@ -285,6 +291,17 @@ def read_part_file(path: str, columns: list[str] | None = None,
                     not bloom_might_contain(
                         base64.b64decode(rg["lbloom"]), lang_eq):
                 continue
+            if col_range is not None:
+                # numeric zone maps (nstats) for non-layout columns: a
+                # row group whose [min,max] cannot overlap [lo,hi) is
+                # skipped; one that PREDATES the column holds only
+                # nulls, which a range predicate never matches
+                _c, _lo, _hi = col_range
+                ns = rg.get("nstats", {}).get(_c)
+                if ns is not None and (ns[0] >= _hi or ns[1] < _lo):
+                    continue
+                if _c in footer["columns"] and _c not in rg["chunks"]:
+                    continue
             arrays, names = [], []
             for c in read_cols:
                 if c not in rg["chunks"] and fill_missing and \
@@ -319,6 +336,13 @@ def read_part_file(path: str, columns: list[str] | None = None,
     if need_lang:
         m3 = pc.equal(t["lang"], pa.scalar(lang_eq))
         mask = m3 if mask is None else pc.and_(mask, m3)
+    if need_cr:
+        _c, _lo, _hi = col_range
+        cv = pc.cast(t[_c], pa.float64())
+        m4 = pc.and_(pc.greater_equal(cv, pa.scalar(_lo, pa.float64())),
+                     pc.less(cv, pa.scalar(_hi, pa.float64())))
+        # null values (pre-evolution rows) never match a range
+        mask = m4 if mask is None else pc.and_(mask, m4)
     if mask is not None:
         t = t.filter(mask)
     return t.select(cols)

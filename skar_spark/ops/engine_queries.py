@@ -544,8 +544,7 @@ def q_engine_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning exists only for the block-number layout key
     (skar/src/db/mod.rs:217-305) — stats-pruning on arbitrary numeric
     columns is engine-new."""
-    from skar_spark.engine.decode import (_file_part_index,
-                                          prune_partitions, scan)
+    from skar_spark.engine.decode import prune_partitions, scan
     from skar_spark.engine.encode import encode_documents
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -576,10 +575,10 @@ def q_engine_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                               col_range=("quality", lo, hi))
     total = prune_partitions(spark, out)
     assert 0 < len(pruned) < len(total), (len(pruned), len(total))
-    dec = scan(spark, out,
-               part_ids={_file_part_index(f) for f in pruned})
-    return (dec.filter((F.col("quality") >= lo) & (F.col("quality") < hi))
-            .select("url", "quality"))
+    # scan's col_range is EXACT: partitions prune via lineage col_stats,
+    # row groups via footer nstats, survivors post-filter in the kernel
+    dec = scan(spark, out, col_range=("quality", lo, hi))
+    return dec.select("url", "quality")
 
 
 SQL_ENGINE_STATS_PRUNE = f"""

@@ -266,3 +266,9 @@ def test_col_stats_zone_maps_prune_partitions(spark, tmp_path):
     # a column with no recorded stats never prunes
     unknown = prune_partitions(spark, out, col_range=("nope", 0.0, 1.0))
     assert sorted(unknown) == sorted(total)
+    # scan(col_range=...) is EXACT: equals the brute-force filter
+    from skar_spark.engine.decode import scan
+    exact = scan(spark, out, col_range=("quality", 2.0, 4.0)).count()
+    brute = (scan(spark, out)
+             .filter("quality >= 2.0 and quality < 4.0").count())
+    assert exact == brute > 0
