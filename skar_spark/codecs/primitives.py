@@ -64,7 +64,10 @@ def unpack_bits(buf: bytes, n: int, width: int) -> np.ndarray:
         bit_off = np.arange(n, dtype=np.int64) * width
         shift = (bit_off & 7).astype(U64)
         chunk = pad[(bit_off >> 3)[:, None] + np.arange(8)]
-        vals = np.ascontiguousarray(chunk).view(U64).ravel()
+        # explicit little-endian view: the packed stream is LE by
+        # definition; a native-endian view would byte-swap on BE hosts
+        vals = np.ascontiguousarray(chunk).view("<u8") \
+            .astype(U64, copy=False).ravel()
         return (vals >> shift) & U64((1 << width) - 1)
     bits = np.unpackbits(np.frombuffer(buf, np.uint8), count=n * width,
                          bitorder="little").reshape(n, width).astype(U64)

@@ -294,13 +294,19 @@ def read_part_file(path: str, columns: list[str] | None = None,
             if col_range is not None:
                 # numeric zone maps (nstats) for non-layout columns: a
                 # row group whose [min,max] cannot overlap [lo,hi) is
-                # skipped; one that PREDATES the column holds only
-                # nulls, which a range predicate never matches
+                # skipped; a part/row group that PREDATES the column
+                # holds only nulls, which a range predicate never
+                # matches — skip it outright (keeps the EXACT contract
+                # for pre-evolution parts, where the post-filter below
+                # cannot run). Stats compare as float64 (same cast the
+                # kernel filter applies) so int64 columns beyond 2^53
+                # stay consistent with the row-level comparison.
                 _c, _lo, _hi = col_range
-                ns = rg.get("nstats", {}).get(_c)
-                if ns is not None and (ns[0] >= _hi or ns[1] < _lo):
+                if _c not in footer["columns"] or _c not in rg["chunks"]:
                     continue
-                if _c in footer["columns"] and _c not in rg["chunks"]:
+                ns = rg.get("nstats", {}).get(_c)
+                if ns is not None and (float(ns[0]) >= _hi
+                                       or float(ns[1]) < _lo):
                     continue
             arrays, names = [], []
             for c in read_cols:

@@ -265,6 +265,31 @@ SELECT {_SQL_URL} AS url, md5(text) AS text_md5 FROM documents
 """
 
 
+def _lift_hourly(spark: SparkSession, sf_dir: str,
+                 with_quality: bool = False) -> DataFrame:
+    """Webtext lift with ONE DOCUMENT PER HOUR (corpus spans weeks) —
+    shared by the day_hash-layout queries so the url format and hour
+    arithmetic stay in lockstep with _SQL_URL and their oracles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cols = [
+        F.concat(F.lit("https://docs-"),
+                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+                 F.lit(".local/"), F.col("doc_id").cast("string")
+                 ).alias("url"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("doc_id").cast("int"))
+         ).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"), F.col("lang")]
+    if with_quality:
+        # numeric non-layout column, correlated with the day so the
+        # day_hash layout makes its zone maps selective (doc_id is the
+        # hour index -> quality spans exactly [day, day+1) per part)
+        cols.append((F.col("doc_id").cast("double") / F.lit(24.0)
+                     ).alias("quality"))
+    return d.select(*cols)
+
+
 def q_engine_day_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The range×hash layout end-to-end, hash-verified: webtext lifted
     with one document per HOUR (so the corpus spans weeks), encoded
@@ -277,17 +302,7 @@ def q_engine_day_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skar_spark.engine.decode import prune_partitions, scan
     from skar_spark.engine.encode import encode_documents
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lifted = d.select(
-        F.concat(F.lit("https://docs-"),
-                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
-                 F.lit(".local/"), F.col("doc_id").cast("string")
-                 ).alias("url"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(hours=F.col("doc_id").cast("int"))
-         ).alias("warc_ts"),
-        F.encode(F.col("text"), "utf-8").alias("html"),
-        F.col("text"), F.col("lang"))
+    lifted = _lift_hourly(spark, sf_dir)
 
     out = _out_dir(sf_dir) + "_dayhash"
     shutil.rmtree(out, ignore_errors=True)
@@ -499,17 +514,7 @@ def q_engine_day_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats themselves are served from the index."""
     from skar_spark.engine.encode import encode_documents, read_lineage
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lifted = d.select(
-        F.concat(F.lit("https://docs-"),
-                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
-                 F.lit(".local/"), F.col("doc_id").cast("string")
-                 ).alias("url"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(hours=F.col("doc_id").cast("int"))
-         ).alias("warc_ts"),
-        F.encode(F.col("text"), "utf-8").alias("html"),
-        F.col("text"), F.col("lang"))
+    lifted = _lift_hourly(spark, sf_dir)
 
     out = _out_dir(sf_dir) + "_daycounts"
     shutil.rmtree(out, ignore_errors=True)
@@ -547,21 +552,7 @@ def q_engine_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skar_spark.engine.decode import prune_partitions, scan
     from skar_spark.engine.encode import encode_documents
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    lifted = d.select(
-        F.concat(F.lit("https://docs-"),
-                 F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
-                 F.lit(".local/"), F.col("doc_id").cast("string")
-                 ).alias("url"),
-        (F.lit("2024-01-01 00:00:00").cast("timestamp")
-         + F.make_interval(hours=F.col("doc_id").cast("int"))
-         ).alias("warc_ts"),
-        F.encode(F.col("text"), "utf-8").alias("html"),
-        F.col("text"), F.col("lang"),
-        # numeric non-layout column, correlated with the day so the
-        # day_hash layout makes its zone maps selective (doc_id is the
-        # hour index → quality spans exactly [day, day+1) per part)
-        (F.col("doc_id").cast("double") / F.lit(24.0)).alias("quality"))
+    lifted = _lift_hourly(spark, sf_dir, with_quality=True)
 
     out = _out_dir(sf_dir) + "_statsprune"
     shutil.rmtree(out, ignore_errors=True)
@@ -577,8 +568,9 @@ def q_engine_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert 0 < len(pruned) < len(total), (len(pruned), len(total))
     # scan's col_range is EXACT: partitions prune via lineage col_stats,
     # row groups via footer nstats, survivors post-filter in the kernel
-    dec = scan(spark, out, col_range=("quality", lo, hi))
-    return dec.select("url", "quality")
+    dec = scan(spark, out, columns=["url", "quality"],
+               col_range=("quality", lo, hi))
+    return dec
 
 
 SQL_ENGINE_STATS_PRUNE = f"""

@@ -272,3 +272,42 @@ def test_col_stats_zone_maps_prune_partitions(spark, tmp_path):
     brute = (scan(spark, out)
              .filter("quality >= 2.0 and quality < 4.0").count())
     assert exact == brute > 0
+
+
+def test_col_range_exact_on_pre_evolution_parts(spark, tmp_path):
+    """A part written BEFORE a numeric column existed holds only nulls
+    for it after null-fill — a range predicate must return ZERO of its
+    rows (the review caught scan(col_range=...) silently returning them
+    unfiltered because the kernel post-filter can't run on a column the
+    part doesn't have)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql import functions as F
+    from skar_spark.config import EngineConfig
+    from skar_spark.engine.decode import scan
+    from skar_spark.streaming import stream_encode
+    from skar_spark.synth import DOCS_DDL, synth_batch
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    pq_.write_table(synth_batch(np.arange(0, 400)), str(land / "a.parquet"))
+    out = str(tmp_path / "tbl")
+    cfg = EngineConfig(max_row_group_size=200)
+    q = stream_encode(spark, str(land), out, cfg, parts_per_batch=1)
+    q.awaitTermination(120)
+
+    t2 = synth_batch(np.arange(400, 800)).append_column(
+        "quality", pa.array((np.arange(400, 800) % 10) / 1.0,
+                            pa.float64()))
+    pq_.write_table(t2, str(land / "b.parquet"))
+    q2 = stream_encode(spark, str(land), out, cfg, parts_per_batch=1,
+                       schema_ddl=DOCS_DDL + ", quality double")
+    q2.awaitTermination(120)
+
+    exact = scan(spark, out, col_range=("quality", 2.0, 5.0))
+    brute = scan(spark, out).filter(
+        "quality >= 2.0 and quality < 5.0")
+    assert exact.count() == brute.count() > 0
+    # and no null-quality (pre-evolution) rows leak through
+    assert exact.filter(F.col("quality").isNull()).count() == 0
