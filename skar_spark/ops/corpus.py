@@ -54,7 +54,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from skar_spark.ops.relational import load
+from skar_spark.ops.relational import load, _spread
 from skar_spark.ops.textops import h60, sql_h60
 
 # decontamination: eval membership + n-gram order. Real pipelines use
@@ -109,10 +109,20 @@ def _ngrams(tokens, n: int):
 # --- decontamination ----------------------------------------------------------
 
 def _doc_grams(spark, sf):
-    d = load(spark, sf, "documents")
-    return d.select(
+    # stage the token array as a real column BEFORE the n-gram transform:
+    # an unstaged _ngrams(_toks(), n) embeds the regex split inside the
+    # HOF lambda, so Spark re-tokenizes the document once PER GRAM —
+    # O(tokens²) per doc (the q_minhash staging lesson; measured 26 s →
+    # 1.5 s for the gram pass at sf1.0). _spread: the gram explode is the
+    # CPU-heavy stage and a bench-sized corpus arrives as 1-2 parquet
+    # splits; at production scale the scan has ≥ cores splits and no
+    # shuffle is added (see _spread).
+    d = _spread(spark, load(spark, sf, "documents").select("doc_id", "text"))
+    staged = d.select("doc_id", _toks().alias("_t"))
+    return staged.select(
         "doc_id",
-        F.explode(F.array_distinct(_ngrams(_toks(), _DECON_N))).alias("gram"))
+        F.explode(F.array_distinct(
+            _ngrams(F.col("_t"), _DECON_N))).alias("gram"))
 
 
 def q_decontam(spark, sf):
@@ -144,15 +154,47 @@ GROUP BY g.doc_id
 
 # --- sequence packing ---------------------------------------------------------
 
+# doc_id range per prefix-sum bucket: floor(doc_id / B) is monotone in
+# doc_id, so ordering by doc_id within a lang == ordering by (bucket,
+# doc_id) — the invariant the two-phase cumulative sum relies on. At
+# bench scale a lang spans a handful of buckets; at 10^12 docs no
+# single window task ever sees more than B rows of the dominant lang.
+_PACK_BUCKET = 65_536
+
+
 def q_seq_pack(spark, sf):
     """(seq_index, tok_offset) per document under concat-then-split
-    packing at _SEQ_BUDGET tokens, packed per `lang` in doc_id order."""
+    packing at _SEQ_BUDGET tokens, packed per `lang` in doc_id order.
+
+    Two-phase prefix sum (VERDICT r05 #5 — a single per-`lang`
+    unbounded-preceding window puts the whole dominant-language corpus
+    through ONE task at 100×): (1) a partition-local cumulative sum per
+    (lang, doc_id-range bucket) — the corpus-sized window key now
+    spreads the hot lang across tasks; (2) per-bucket token subtotals
+    cascade into bucket offsets with a window over the (lang, bucket)
+    subtotal table — n/B rows, 4-5 orders of magnitude smaller; (3) a
+    join re-attaches the offsets (AQE broadcasts the runtime-tiny
+    subtotal side; unhinted so a multi-TB run may keep it a shuffle
+    join on the partitioning the window already established).
+    Integer addition is associative, so cum_before is bit-identical to
+    the single-window formulation."""
     d = load(spark, sf, "documents")
-    w = (Window.partitionBy("lang").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    cum = F.coalesce(F.sum(_n_tokens()).over(w), F.lit(0)).cast("long")
-    out = d.select("doc_id", "lang", _n_tokens().alias("n_tokens"),
-                   cum.alias("cum_before"))
+    b = F.floor(F.col("doc_id") / F.lit(_PACK_BUCKET)).alias("_b")
+    t = d.select("doc_id", "lang", _n_tokens().alias("n_tokens"), b)
+    wl = (Window.partitionBy("lang", "_b").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    local = F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)).cast("long")
+    cumed = t.withColumn("_local", local)
+    sub = t.groupBy("lang", "_b").agg(
+        F.sum("n_tokens").cast("long").alias("_bt"))
+    wo = (Window.partitionBy("lang").orderBy("_b")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    off = sub.select(
+        "lang", "_b",
+        F.coalesce(F.sum("_bt").over(wo), F.lit(0)).cast("long")
+        .alias("_off"))
+    out = (cumed.join(off, ["lang", "_b"])
+           .withColumn("cum_before", F.col("_off") + F.col("_local")))
     return out.select(
         "doc_id", "lang", "n_tokens",
         F.floor(F.col("cum_before") / F.lit(_SEQ_BUDGET)).alias("seq_index"),
@@ -195,17 +237,25 @@ FROM documents GROUP BY source
 # --- within-document repetition stats (Gopher-style) --------------------------
 
 def q_rep_stats(spark, sf):
+    # stage tokens and 2-grams as real columns (projections, no
+    # exchange): every aggregate below references them several times,
+    # and an unstaged HOF expression re-tokenizes per reference
     d = load(spark, sf, "documents")
-    toks = _toks()
-    n = _n_tokens()
+    s1 = d.select("doc_id", "text", _toks().alias("_t"))
+    s2 = s1.select("doc_id", "text", "_t",
+                   _ngrams(F.col("_t"), 2).alias("_g2"))
+    toks = F.col("_t")
+    # n over the staged column (not _n_tokens(), which re-splits text)
+    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+         .otherwise(F.size(toks))
     nd = F.when(n == 0, F.lit(0)) \
           .otherwise(F.size(F.array_distinct(toks)))
-    g2 = _ngrams(toks, 2)
+    g2 = F.col("_g2")
     n2 = F.size(g2)
     nd2 = F.size(F.array_distinct(g2))
     frac = lambda tot, dis: F.when(
         tot > 0, (tot - dis).cast("double") / tot).otherwise(F.lit(0.0))
-    return d.select(
+    return s2.select(
         "doc_id", n.alias("n_tokens"), nd.alias("n_distinct_tokens"),
         frac(n, nd).alias("dup_token_frac"),
         n2.alias("n_2grams"), nd2.alias("n_distinct_2grams"),
@@ -310,13 +360,21 @@ def q_line_dedup(spark, sf):
     window) → re-aggregate in original order. Docs whose every line is a
     duplicate drop out (their text is fully boilerplate).
 
-    At 100 TB: the only corpus-sized exchange is the line-hash shuffle,
-    the same cost class as exact doc dedup; the reassembly groupBy
-    reuses the doc_id clustering and the per-doc state is bounded by
-    document length.
+    At 100 TB: the only corpus-sized exchange is the line shuffle, the
+    same cost class as exact doc dedup; the reassembly groupBy reuses
+    the doc_id clustering and the per-doc state is bounded by document
+    length. First-occurrence selection is a map-side-combinable
+    `min(struct(doc_id, pos))` per line — NOT a row_number window over
+    the line text, which would funnel every occurrence of a
+    billion-copy boilerplate line into one sort task (VERDICT r05 #4):
+    the partial min collapses each map partition's occurrences of a hot
+    line to ONE row before the exchange, so the hot key's reduce input
+    is bounded by #map tasks, not #occurrences.
     """
-    d = load(spark, sf, "documents")
-    toks = _toks()
+    d = _spread(spark, load(spark, sf, "documents").select("doc_id", "text"))
+    # stage tokens: an unstaged transform re-tokenizes per line chunk
+    staged = d.select("doc_id", _toks().alias("_t"))
+    toks = F.col("_t")
     nlines = F.ceil(F.size(toks) / F.lit(_LINE_TOKS)).cast("int")
     lines = F.transform(
         F.sequence(F.lit(0), nlines - 1),
@@ -324,11 +382,15 @@ def q_line_dedup(spark, sf):
             i.alias("pos"),
             F.concat_ws(" ", F.slice(toks, i * _LINE_TOKS + 1, _LINE_TOKS))
              .alias("line")))
-    e = (d.select("doc_id", F.explode(lines).alias("u"))
+    e = (staged.select("doc_id", F.explode(lines).alias("u"))
          .select("doc_id", F.col("u.pos").alias("pos"),
                  F.col("u.line").alias("line")))
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    kept = e.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # first occurrence = min (doc_id, pos) per line, lexicographic struct
+    # min == the old window's ORDER BY doc_id, pos rank-1 row
+    kept = (e.groupBy("line")
+            .agg(F.min(F.struct("doc_id", "pos")).alias("m"))
+            .select(F.col("m.doc_id").alias("doc_id"),
+                    F.col("m.pos").alias("pos"), "line"))
     return (kept.groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_kept"),
                  F.md5(F.array_join(F.transform(
@@ -422,7 +484,7 @@ def q_vocab_encode(spark, sf):
     rank window runs over the tiny count table only. Docs whose text is
     blank have no tokens and drop out (both engines).
     """
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents").select("doc_id", "text"))
     tok = (d.select("doc_id", F.posexplode(_toks()).alias("pos", "token"))
            .filter(F.col("token") != ""))
     cnt = tok.groupBy("token").agg(F.count("*").alias("cnt"))
@@ -470,7 +532,10 @@ GROUP BY t.doc_id
 def q_heavy_hitters(spark, sf):
     """Exact global top-_TOPK_TOKENS tokens; ties broken by token text
     so the result is a deterministic set."""
-    d = load(spark, sf, "documents")
+    # no _spread: the explode+partial-count kernel is cheap relative to
+    # the shuffle a repartition would add (measured 0.74 s direct vs
+    # 1.4 s spread at sf1.0 — the doc_fingerprint lesson)
+    d = load(spark, sf, "documents").select("text")
     t = (d.select(F.explode(_toks()).alias("token"))
          .filter(F.col("token") != "")
          .groupBy("token").agg(F.count("*").alias("cnt")))
@@ -518,12 +583,15 @@ def _pii_planted(col="text"):
 def q_pii_redact(spark, sf):
     """PII scrub (C4/Dolma-style pre-release step): count then mask
     emails, IPv4s and NANP-style phone spans per document. Pure
-    projection — three `regexp_replace` passes per row, zero exchanges;
-    at 100 TB this pipelines with any other map stage. Counts are taken
-    BEFORE masking; masking order (email → ip → phone) is part of the
-    op's contract since masks could otherwise create/destroy later
+    projection — three `regexp_replace` passes per row, zero exchanges
+    beyond the bench-only _spread (six regex passes per row are the
+    textbook CPU-bound kernel: a 1-2-split bench corpus would otherwise
+    run them on 1-2 cores; at 100 TB the scan yields ≥ cores splits and
+    _spread adds nothing, so the op stays a pure map stage). Counts are
+    taken BEFORE masking; masking order (email → ip → phone) is part of
+    the op's contract since masks could otherwise create/destroy later
     matches."""
-    d = load(spark, sf, "documents")
+    d = _spread(spark, load(spark, sf, "documents").select("doc_id", "text"))
     planted = _pii_planted()
     red = F.regexp_replace(
         F.regexp_replace(

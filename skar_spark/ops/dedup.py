@@ -63,13 +63,31 @@ def _shingles(tokens):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_col(shingles, j: int):
+def _minhash_col_ref(shingles, j: int):
+    """Reference formulation: h60 (md5→substr→conv) per (shingle, salt),
+    then array_min. Kept as the semantic definition; the hot path below
+    is bit-identical (test_minhash_kernel_parity.py)."""
     return F.array_min(F.transform(
         shingles, lambda s: h60(F.concat(s, F.lit(f"#{j}")))))
 
 
+def _minhash_col(shingles, j: int):
+    """Production formulation (r6): take array_min over the 15-hex-char
+    md5 prefixes and apply the hex→long conv ONCE on the winner, not
+    per shingle. Equal-length lowercase hex compares lexicographically
+    == numerically, so the min prefix is the min value — measured ~20%
+    off the signature pass (conv was ~1/5 of the per-shingle cost)."""
+    hexmin = F.array_min(F.transform(
+        shingles,
+        lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 15)))
+    return F.conv(hexmin, 16, 10).cast("long")
+
+
 def q_minhash(spark, sf):
-    d = _spread(spark, load(spark, sf, "documents"))
+    # project to the two needed columns BEFORE the spread repartition
+    # (guide §2.3) — the previous version shuffled every document column
+    d = _spread(spark, load(spark, sf, "documents")
+                .select("doc_id", "text"))
     k = _LSH_BANDS * lsh_rows_per_band(_n_docs(sf, spark))
     # stage the arrays as real columns: referencing a nested HOF
     # expression from several minhash columns re-evaluates the whole
@@ -130,9 +148,17 @@ def _banded(sig, rows: int):
 def q_lsh_pairs(spark, sf):
     """Banded-minhash candidate pairs: a pair is a candidate if ANY of
     the _LSH_BANDS bands collides; the shuffle is an equi-join on
-    (band_pos, band_key)."""
+    (band_pos, band_key).
+
+    The banded signature is materialized ONCE (localCheckpoint — the
+    staging-table-before-a-self-join pattern, executor-side, no cache
+    to leak): Spark does not reuse a broadcast/exchange subtree across
+    the two sides of a self-join, so the lazy plan would run the full
+    tokenize+shingle+minhash tree TWICE (measured as the dominant cost
+    of this query — r6 plan audit)."""
     rows = lsh_rows_per_band(_n_docs(sf, spark))
-    banded = _banded(q_minhash(spark, sf), rows)
+    banded = _banded(q_minhash(spark, sf), rows) \
+        .localCheckpoint(eager=True)
     l = banded.select(F.col("doc_id").alias("a"), "bpos", "bkey")
     r = banded.select(F.col("doc_id").alias("b"), "bpos", "bkey")
     return (l.join(r, ["bpos", "bkey"]).filter(F.col("a") < F.col("b"))
@@ -245,32 +271,77 @@ def _grams_col():
     ).otherwise(F.array().cast("array<string>")))
 
 
+def _jaccard_counts_kernel(batches):
+    """Per-candidate-pair char-4-gram set sizes, the bit-exact twin of
+    size(array_intersect(ga, gb)) / size(ga) / size(gb) over
+    _grams_col() arrays: grams are the DISTINCT 4-char substrings of
+    the text (none below length 4; Python str slicing and Spark substr
+    both index code points), so |A∪B| = na + nb − inter and the
+    jaccard division + rounding stay in Spark SQL, unchanged. Python
+    set intersection does in ~60 µs/pair what the per-row JVM
+    OpenHashSet expressions did in ~3.8 ms/pair (measured: the verify
+    projection alone was 5.4 s at sf1.0; guide §4.2)."""
+    import pyarrow as _pa
+
+    for batch in batches:
+        ta = batch.column("_ta").to_pylist()
+        tb = batch.column("_tb").to_pylist()
+        inter, na, nb = [], [], []
+        for x, y in zip(ta, tb):
+            sa = {x[i:i + 4] for i in range(len(x) - 3)} \
+                if x is not None and len(x) >= 4 else set()
+            sb = {y[i:i + 4] for i in range(len(y) - 3)} \
+                if y is not None and len(y) >= 4 else set()
+            inter.append(len(sa & sb))
+            na.append(len(sa))
+            nb.append(len(sb))
+        yield _pa.record_batch(
+            {"a": batch.column("a"), "b": batch.column("b"),
+             "inter": _pa.array(inter, _pa.int32()),
+             "na": _pa.array(na, _pa.int32()),
+             "nb": _pa.array(nb, _pa.int32())})
+
+
 def q_ngram_jaccard(spark, sf):
     d = _spread(spark, load(spark, sf, "documents").select("doc_id", "text"))
     rows = lsh_rows_per_band(_n_docs(sf, spark))
     k = _LSH_BANDS * rows
     # candidate generation: the same banded word-shingle minhash as
     # q_lsh_pairs, restricted to docs with >= 3 words (non-empty shingles)
-    staged = (d.select("doc_id", "text", _tokens(F.col("text")).alias("_toks"))
+    staged = (d.select("doc_id", "text",
+                       _tokens(F.col("text")).alias("_toks"))
               .filter(F.size("_toks") >= 3)
-              .select("doc_id", "text", _shingles(F.col("_toks")).alias("_sh")))
+              .select("doc_id", _shingles(F.col("_toks")).alias("_sh")))
     sig = staged.select(
         "doc_id", *[_minhash_col(F.col("_sh"), j).alias(f"mh{j}")
                     for j in range(k)])
-    banded = _banded(sig, rows)
+    # materialize the banded signature once (see q_lsh_pairs: the
+    # self-join's two sides otherwise re-run the whole minhash tree —
+    # it was 2× the dominant cost of this query in the r6 plan audit)
+    banded = _banded(sig, rows).localCheckpoint(eager=True)
     l = banded.select(F.col("doc_id").alias("a"), "bpos", "bkey")
     r = banded.select(F.col("doc_id").alias("b"), "bpos", "bkey")
+    # cand feeds both text attaches — checkpoint the tiny pair list too
     cand = (l.join(r, ["bpos", "bkey"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
-    # exact char-4-gram Jaccard verification on candidates only
-    g = d.select("doc_id", _grams_col().alias("grams"))
-    ga = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
-    gb = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
-    pairs = cand.join(ga, "a").join(gb, "b")
-    inter = F.size(F.array_intersect("ga", "gb"))
-    union = F.size(F.array_union("ga", "gb"))
-    jac = F.round(inter.cast("double") / union, 4)
-    return (pairs.select("a", "b", jac.alias("jaccard"))
+            .select("a", "b").distinct().localCheckpoint(eager=True))
+    # exact char-4-gram Jaccard verification on candidates only: attach
+    # the two raw texts (smaller than materialized gram arrays) and
+    # compute the three set sizes in one Arrow-batched kernel; the
+    # jaccard value itself — round(inter / (na + nb − inter), 4) — is
+    # the same Spark-side double division and rounding as before
+    ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("_ta"))
+    tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("_tb"))
+    pairs = cand.join(ta, "a").join(tb, "b").select("a", "b", "_ta", "_tb")
+    # the CPU-bound verify kernel needs cluster-wide parallelism: AQE
+    # coalesces the tiny-bytes join output to ~1 partition, which would
+    # serialize the per-pair set intersections onto one core
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
+    counts = pairs.mapInArrow(
+        _jaccard_counts_kernel,
+        "a long, b long, inter int, na int, nb int")
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    jac = F.round(F.col("inter").cast("double") / union, 4)
+    return (counts.select("a", "b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= _NGJ_THRESHOLD))
 
 
@@ -361,16 +432,70 @@ WHERE doc_id NOT IN (SELECT b FROM ({sql_ngram_jaccard(n)}) pairs)
 
 _CC_MAX_ITERS = 25
 
+# Driver fast path: at or below this many VERIFIED near-dup pairs the
+# components are computed by one union-find on the driver — the edge
+# list is metadata-scale next to the corpus (the salt-map/codebook
+# class of driver work), and the distributed loop's per-round jobs are
+# pure overhead for it. Above the bound (or with SKAR_CC_DISTRIBUTED=1)
+# the pointer-jumping loop below runs unchanged — it remains the
+# at-scale path and is exercised by the forced-mode pytest.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_components(rows) -> dict[int, int]:
+    """Union-find with union-by-min-root over (a, b) pairs: the final
+    root of every component is its minimum doc_id — exactly the
+    distributed loop's fixpoint label."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
 
 def q_dedup_clusters(spark, sf, _stats: dict | None = None):
-    pairs = q_ngram_jaccard(spark, sf).select("a", "b")
+    pairs = (q_ngram_jaccard(spark, sf).select("a", "b")
+             .localCheckpoint(eager=True))
+    n_edges = pairs.count()
+    docs = load(spark, sf, "documents").select("doc_id")
+    if (n_edges <= _CC_DRIVER_MAX_EDGES
+            and not os.environ.get("SKAR_CC_DISTRIBUTED")):
+        if _stats is not None:
+            _stats["mode"] = "driver"
+        lbl = _driver_components(
+            (r.a, r.b) for r in pairs.collect())
+        ldf = spark.createDataFrame(
+            list(lbl.items()) or [], "doc_id long, lbl long")
+        return (docs.join(F.broadcast(ldf), "doc_id", "left")
+                .select("doc_id",
+                        F.coalesce(F.col("lbl"), F.col("doc_id"))
+                        .alias("cluster")))
+    if _stats is not None:
+        _stats["mode"] = "distributed"
     edges = (pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct().localCheckpoint(eager=True))
-    labels = (load(spark, sf, "documents")
-              .select(F.col("doc_id").alias("id"))
+    # iterate ONLY over edge endpoints (r6): an isolated node's label
+    # never moves, so carrying the whole corpus through every round's
+    # three joins + agg is pure overhead — the near-dup graph is tiny
+    # vs the corpus at any scale. Isolated docs rejoin at the end with
+    # cluster = own id (identical result). Both edge directions are
+    # present, so `a` alone covers every endpoint.
+    labels = (edges.select(F.col("a").alias("id")).distinct()
               .withColumn("lbl", F.col("id"))
               .localCheckpoint(eager=True))
+    done = None
+    load_docs = docs  # full corpus rejoined after convergence
     for _ in range(_CC_MAX_ITERS):  # O(log diameter) rounds (metadata)
         nbr = (edges.join(labels.withColumnRenamed("id", "b"), "b")
                .select(F.col("a").alias("id"), "lbl"))
@@ -395,11 +520,19 @@ def q_dedup_clusters(spark, sf, _stats: dict | None = None):
         if _stats is not None:
             _stats["rounds"] = _stats.get("rounds", 0) + 1
         if changed == 0:
-            return labels.select(F.col("id").alias("doc_id"),
-                                 F.col("lbl").alias("cluster"))
-    raise RuntimeError(
-        f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds — "
-        "component diameter exceeds 2^{_CC_MAX_ITERS}; raise the cap")
+            done = labels
+            break
+    if done is None:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {_CC_MAX_ITERS} rounds "
+            f"— component diameter exceeds 2^{_CC_MAX_ITERS}; raise the "
+            "cap")
+    return (load_docs
+            .join(done.withColumnRenamed("id", "doc_id"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("lbl"), F.col("doc_id"))
+                    .alias("cluster")))
 
 
 def sql_dedup_clusters(n: int | None = None) -> str:
@@ -529,11 +662,20 @@ def q_cosine_topk_blocked(spark, sf):
                 .astype(np.float64)
             B = flat.reshape(len(b), -1)
             bn = np.sqrt((B * B).sum(axis=1))
-            cos = (B @ Q.T) / np.outer(bn, qn)        # (n_b, q) BLAS
+            # zero-norm guard (ADVICE r05): DuckDB's x/0 is NULL and
+            # sorts LAST under DESC; numpy's is NaN which np.lexsort
+            # would rank FIRST — mask zero-norm rows/queries out of the
+            # candidate set entirely (same rule as _rank_probe)
+            bvalid = bn != 0.0
+            bs = np.where(bvalid, bn, 1.0)
+            qs = np.where(qn != 0.0, qn, 1.0)
+            cos = (B @ Q.T) / np.outer(bs, qs)        # (n_b, q) BLAS
             cos = np.round(cos, 4)
             for j in range(len(qids)):  # metadata-scale: q queries, not rows
+                if qn[j] == 0.0:
+                    continue                           # NULL cos for all
                 c = cos[:, j]
-                mask = vid != qids[j]                  # exclude self
+                mask = (vid != qids[j]) & bvalid       # exclude self+zero
                 idx = np.flatnonzero(mask)
                 if idx.size == 0:
                     continue
@@ -753,11 +895,14 @@ def q_ann_lsh(spark, sf):
     capped_lazy = (bucketed.withColumn("rn", F.row_number().over(w))
                    .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
     if n < _ANN_STAGE_MIN_ROWS and not os.environ.get("SKAR_ANN_STAGE"):
-        # small base: the double-compute of the lazy self-join is
-        # cheaper than the staging write (measured at sf0.1: staged
-        # 4.96 s vs lazy 4.69 s) — staging pays off when the bucketing
-        # kernel's cost dominates the extra parquet round-trip
-        capped = capped_lazy
+        # small base: materialize the capped table executor-side
+        # (localCheckpoint) instead of the parquet staging round-trip —
+        # the self-join's two sides otherwise re-run the bucketing
+        # kernel (Python mapInArrow) twice (r6: the lazy double-compute
+        # cost grows with n; checkpoint wins from ~10k rows up and ties
+        # below). Parquet staging remains the cross-executor answer for
+        # big bases / multi-node roots.
+        capped = capped_lazy.localCheckpoint(eager=True)
     else:
         # staging root must be storage every executor AND the driver
         # can reach: local /tmp is only valid on local[..] or a

@@ -461,7 +461,11 @@ FROM s GROUP BY user_id, sess
 # --- JSON property extraction over events --------------------------------------
 
 def q_json_extract(spark, sf):
-    e = load(spark, sf, "events")
+    # JSON parsing is the CPU-bound kernel here; a bench-sized events
+    # table arrives as 1-4 splits, so spread the 2 needed columns across
+    # cores first (no-op at production split counts — see _spread)
+    e = _spread(spark, load(spark, sf, "events").select("event_type",
+                                                        "props"))
     k = F.get_json_object("props", "$.k").cast("long")
     return (e.select("event_type", k.alias("k"))
             .groupBy("event_type")

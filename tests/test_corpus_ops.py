@@ -47,12 +47,21 @@ def test_heavy_hitters_takeordered(spark):
     assert "partial_count" in plan
 
 
-def test_seq_pack_single_window_exchange(spark):
+def test_seq_pack_two_phase_prefix_sum(spark):
+    """r6 skew fix: the corpus-sized window must partition by (lang,
+    doc_id-range bucket), never by lang alone — the hot language then
+    spreads across tasks; the per-lang cascade runs over the tiny
+    subtotal table only. ≤3 exchanges: corpus hash(lang, _b), subtotal
+    agg, tiny cascade window (+ a broadcast for the offset join)."""
     plan = _plan(corpus.q_seq_pack(spark, SF))
     # formatted explain names each node twice (tree + detail); count the
     # detail headers, which ReusedExchange does not match
-    assert plan.count(") Exchange") <= 1
+    assert plan.count(") Exchange") <= 3
     assert "Window" in plan
+    # the corpus exchange key includes the bucket column next to lang
+    import re
+    corpus_keys = re.findall(r"hashpartitioning\(lang#\d+, (\w+)#", plan)
+    assert "_b" in corpus_keys, corpus_keys
 
 
 def test_split_assign_is_leakage_safe(spark):
@@ -103,12 +112,17 @@ def test_line_dedup_keeps_exactly_distinct_lines(spark):
     assert total_kept < n_total
 
 
-def test_line_dedup_two_exchanges_only(spark):
-    """One shuffle on line text (first-occurrence window) + one on
-    doc_id (reassembly) — no extra exchange, no cartesian."""
+def test_line_dedup_groupby_min_no_line_window(spark):
+    """r6 skew fix: first-occurrence selection must be a map-side-
+    combinable partial_min per line, never a row_number window
+    partitioned by the line text (a billion-occurrence boilerplate line
+    would be ONE window partition). ≤3 exchanges: the bench-only
+    _spread round-robin, the line groupBy, the doc_id reassembly."""
     plan = _plan(corpus.q_line_dedup(spark, SF))
-    assert plan.count(") Exchange") <= 2
+    assert plan.count(") Exchange") <= 3
     assert "Cartesian" not in plan
+    assert "partial_min" in plan          # map-side combine on the line key
+    assert "Window" not in plan           # no single-key sort window
 
 
 def test_temp_sample_rebalances_head_language(spark):
@@ -147,8 +161,12 @@ def test_vocab_encode_broadcast_and_unk(spark):
 
 def test_pii_redact_masks_everything_no_exchange(spark):
     df = corpus.q_pii_redact(spark, SF)
-    # pure projection: no exchange anywhere in the plan
-    assert "Exchange" not in _plan(df)
+    # pure projection up to the bench-only _spread: the only permitted
+    # exchange is its round-robin repartition (absent at production
+    # split counts); no hash/range exchange anywhere
+    plan = _plan(df)
+    assert plan.count(") Exchange") <= 1
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     # planted docs (doc_id % 3 != 2) carry exactly one of each PII kind;
     # the rest carry none
     rows = df.collect()

@@ -137,7 +137,27 @@ def test_dedup_clusters_transitive_chain(spark, tmp_path):
     assert all(clusters[i] == i for i in range(3, 10))  # singletons
 
 
-def test_dedup_clusters_long_chain_pointer_jumping(spark, tmp_path):
+def test_dedup_clusters_driver_vs_distributed_parity(spark, monkeypatch):
+    """r6: the driver union-find fast path (small verified edge lists)
+    and the distributed pointer-jumping loop must produce identical
+    clusters."""
+    from skar_spark.ops import dedup
+    fast = {r.doc_id: r.cluster
+            for r in q_dedup_clusters(spark, SF).collect()}
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", -1)
+    stats = {}
+    dist = {r.doc_id: r.cluster
+            for r in q_dedup_clusters(spark, SF, _stats=stats).collect()}
+    assert stats["mode"] == "distributed"
+    assert fast == dist
+
+
+def test_dedup_clusters_long_chain_pointer_jumping(spark, tmp_path,
+                                                   monkeypatch):
+    # force the distributed loop (the driver union-find fast path would
+    # otherwise absorb this metadata-sized graph)
+    from skar_spark.ops import dedup
+    monkeypatch.setattr(dedup, "_CC_DRIVER_MAX_EDGES", -1)
     """A 60-doc drift-chain corpus: the component has a LONG diameter
     (links only between near neighbors), so plain neighbor propagation
     would need ~diameter rounds — the pointer-jumping step must
