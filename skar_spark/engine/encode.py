@@ -272,13 +272,16 @@ def plan_partitions_day_hash(df: DataFrame, target_rows: int,
         .cast("int")), num_parts, (d0, buckets, num_parts)
 
 
-def _pack_heavy_chunks(sm_rows, num_parts: int) -> list[tuple]:
+def _pack_heavy_chunks(sm_rows, num_parts: int
+                       ) -> tuple[list[tuple], dict[int, int]]:
     """Greedy bin-packing of the known heavy (host, salt) chunks across
     partitions: biggest chunk first into the least-loaded partition.
     Deterministic given the persisted salt map (sort keys break ties by
     host), so resume/rollback replans place chunks identically. Returns
-    [(host, salt, part_id)]. Driver-side but METADATA-sized: one entry
-    per heavy chunk, not per row — at 10^12 docs the salt map is KBs."""
+    ([(host, salt, part_id)], {part_id: packed_bytes}) — the load map
+    feeds planned_exchange's largest-first task placement. Driver-side
+    but METADATA-sized: one entry per heavy chunk, not per row — at
+    10^12 docs the salt map is KBs."""
     import heapq
 
     chunks = []
@@ -289,17 +292,20 @@ def _pack_heavy_chunks(sm_rows, num_parts: int) -> list[tuple]:
     chunks.sort(key=lambda c: (-c[0], c[1], c[2]))
     heap = [(0, p) for p in range(num_parts)]  # (load, part_id)
     out = []
+    loads: dict[int, int] = {}
     for per, host, s in chunks:
         load, p = heapq.heappop(heap)
         out.append((host, s, p))
+        loads[p] = load + per
         heapq.heappush(heap, (load + per, p))
-    return out
+    return out, loads
 
 
 def plan_partitions(df: DataFrame, num_parts: int,
                     cfg: EngineConfig = DEFAULT,
                     host_counts: DataFrame | None = None,
-                    salt: DataFrame | None = None) -> DataFrame:
+                    salt: DataFrame | None = None,
+                    packed: list[tuple] | None = None) -> DataFrame:
     """Attach deterministic `part_id` with heavy-host salting.
 
     Three-phase: (1) per-host (count, bytes) stats (map-side combinable
@@ -321,8 +327,9 @@ def plan_partitions(df: DataFrame, num_parts: int,
     if "chunk_bytes" not in sm.columns:
         return df.withColumn("part_id", hash_part)
     spark = df.sparkSession
-    packed = _pack_heavy_chunks(
-        sm.orderBy("host").collect(), num_parts)
+    if packed is None:
+        packed, _loads = _pack_heavy_chunks(
+            sm.orderBy("host").collect(), num_parts)
     if not packed:
         return df.withColumn("part_id", hash_part)
     pdf = spark.createDataFrame(
@@ -472,13 +479,23 @@ def _encode_kernel_multi(out_dir: str, cfg: EngineConfig, attempt: str,
 
 
 def planned_exchange(sub: DataFrame, part_ids: list[int],
-                     num_buckets: int) -> DataFrame:
+                     num_buckets: int,
+                     loads: dict[int, int] | None = None) -> DataFrame:
     """Repartition `sub` so each part_id in `part_ids` lands alone in
     its own shuffle bucket: part_id → a key whose Murmur3 hash maps to a
-    distinct bucket of the num_buckets-way exchange."""
+    distinct bucket of the num_buckets-way exchange.
+
+    `loads` (part_id → packed heavy-chunk bytes) orders the buckets
+    LARGEST-FIRST: reduce tasks launch in bucket-index order, so with
+    more groups than cores the heavy groups start in the first wave and
+    the stage tail is a medium group, not "wave + heaviest" (measured:
+    the biggest part landing in wave 2 added its full encode time to
+    the batch wall)."""
     keys = _bucket_keys(num_buckets)
+    order = sorted(part_ids,
+                   key=lambda p: (-(loads or {}).get(p, 0), p))
     ranked = {pid: keys[i % num_buckets]
-              for i, pid in enumerate(sorted(part_ids))}
+              for i, pid in enumerate(order)}
     mapping = F.create_map(
         *[F.lit(v) for kv in ranked.items() for v in kv])
     return sub.withColumn("_pk", mapping[F.col("part_id")]) \
@@ -576,9 +593,33 @@ def load_plan_meta(out_dir: str) -> dict | None:
 
 
 def save_salt_map(spark: SparkSession, out_dir: str,
-                  sm: DataFrame) -> None:
-    storage.spark_write_parquet(
-        sm, os.path.join(_meta_dir(out_dir), "salt_map"))
+                  sm: DataFrame) -> list:
+    """Persist the salt map and return its collected rows.
+
+    The map is metadata (one row per heavy host) — a Spark parquet
+    write job + read-back just to land it was a fixed ~0.5-1 s serial
+    barrier per encode (the append_lineage_rows lesson); instead
+    collect the rows and PUT one parquet object through the storage
+    seam. load_salt_map reads the same directory unchanged."""
+    import io
+
+    import pyarrow.parquet as _pq
+
+    rows = sm.collect()
+    cols: dict = {
+        "host": pa.array([r.host for r in rows], pa.string()),
+        "n_salts": pa.array([r.n_salts for r in rows], pa.int32()),
+    }
+    if "chunk_bytes" in sm.columns:
+        cols["chunk_bytes"] = pa.array(
+            [r.chunk_bytes for r in rows], pa.int64())
+    buf = io.BytesIO()
+    _pq.write_table(pa.table(cols), buf)
+    sm_dir = os.path.join(_meta_dir(out_dir), "salt_map")
+    storage.remove_prefix(sm_dir)
+    storage.put_bytes(os.path.join(sm_dir, "salt-map.parquet"),
+                      buf.getvalue())
+    return rows
 
 
 def load_salt_map(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -847,10 +888,15 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     #     2-to-a-task double the tail, so give groups room (≥ 2×groups),
     #     and never let AQE coalesce the CPU-bound encode stage.
     if n_rows is not None and scheme != "day_hash":
-        # half the average partition size: a salted heavy-host chunk then
-        # fills at most ~half a partition, bounding the straggler tail
+        # a QUARTER of the average partition size (r6; was half): on a
+        # Zipf host distribution several hosts just under a half-size
+        # threshold can clump into one partition (measured 54 MB max vs
+        # 32 MB median part, a 3× encode-task straggler); quarter-size
+        # chunks all enter the deterministic bin-packing and the part
+        # profile flattens (46 MB max, worst task 5.6 s → 3.7 s) for
+        # +0.15% encoded bytes (split hosts lose cross-chunk locality)
         eff_thr = min(cfg.salt_threshold_rows,
-                      max(500, n_rows // max(num_parts, 1) // 2))
+                      max(500, n_rows // max(num_parts, 1) // 4))
         if eff_thr != cfg.salt_threshold_rows:
             import dataclasses
             cfg = dataclasses.replace(cfg, salt_threshold_rows=eff_thr)
@@ -873,6 +919,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     # late-data rollback replan with identical partition membership even
     # if the input's host distribution has drifted
     sm = load_salt_map(spark, out_dir) if resume else None
+    sm_rows = None
     stored_meta = load_plan_meta(out_dir) if resume else None
     if sm is None:
         # cache the host stats: salt_map both aggregates them (global
@@ -881,8 +928,8 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         own_stats = host_counts is None
         if own_stats:
             host_counts = host_stats(with_host(df)).cache()
-        sm = salt_map(with_host(df), cfg, host_counts)
-        save_salt_map(spark, out_dir, sm)
+        sm_rows = save_salt_map(spark, out_dir,
+                                salt_map(with_host(df), cfg, host_counts))
         if own_stats:
             host_counts.unpersist()
             host_counts = None
@@ -899,8 +946,19 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
             plan_partitions_day_hash(df, cfg.target_partition_rows, cfg,
                                      fixed=fixed, salt=sm)
         day_meta = {"d0": d0.isoformat(), "buckets": buckets}
+        loads: dict[int, int] | None = None
     else:
-        planned = plan_partitions(df, num_parts, cfg, host_counts, salt=sm)
+        # one packing pass serves both the part-id plan and the
+        # largest-first exchange ordering (salt-map rows are metadata)
+        loads = None
+        packed = None
+        if "chunk_bytes" in sm.columns:
+            if sm_rows is None:
+                sm_rows = sm.collect()
+            packed, loads = _pack_heavy_chunks(
+                sorted(sm_rows, key=lambda r: r.host), num_parts)
+        planned = plan_partitions(df, num_parts, cfg, host_counts,
+                                  salt=sm, packed=packed)
     if stored_meta is None:
         save_plan_meta(out_dir, {
             "scheme": scheme, "num_parts": num_parts,
@@ -955,7 +1013,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
         # into buckets at random (two ~2s-CPU groups colliding in one
         # bucket was ~40% of batch wall); planned_exchange puts one
         # group per task, so the stage tail is the slowest GROUP.
-        exch = planned_exchange(sub, batch_ids, len(batch_ids))
+        exch = planned_exchange(sub, batch_ids, len(batch_ids), loads)
         footers = exch.mapInArrow(
             _encode_kernel_multi(out_dir, cfg, attempt,
                                  _kernel_name_fmt(cfg, attempt, out_dir)),
