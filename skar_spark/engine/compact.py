@@ -194,7 +194,13 @@ def compact_parts(spark: SparkSession, out_dir: str,
     # e.g. a null lang_bloom just can't prune) — analysis still raises
     # here, pre-marker, on genuinely incompatible column types.
     keep = lin.filter(~F.col("file").isin(files))
-    newlin = keep.unionByName(new_footers, allowMissingColumns=True)
+    # schema_json is NOT a lineage column (append_lineage_rows strips it
+    # after feeding schema evolution — ADVICE r05): the compacted parts
+    # re-encode the table's already-merged schema (tcols/ttypes above),
+    # so nothing new to merge — drop it so lineage schema stays
+    # identical across write paths
+    newlin = keep.unionByName(new_footers.drop("schema_json"),
+                              allowMissingColumns=True)
 
     # archival marker BEFORE any new part file exists (part files are
     # written only when `newlin` executes below): from this point every

@@ -1041,6 +1041,31 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
     return lin
 
 
+def _assert_no_appended_parts(spark: SparkSession, out_dir: str,
+                              op: str) -> None:
+    """Refuse row-level ops that locate partitions via the ORIGINAL
+    stored plan when the table has appended partitions (ADVICE r05,
+    high): append_documents plans its increment from its own stats
+    above the pid high-water, so the stored url→partition function
+    cannot see rows living in appended parts — merge would leave stale
+    versions alive there and delete would silently miss them. Appended
+    partitions are exactly the lineage pids at or above the stored
+    plan's num_parts (appends start at max(pid)+1)."""
+    meta = load_plan_meta(out_dir)
+    lin = read_lineage(spark, out_dir)
+    if meta is None or lin is None:
+        return  # the callers' own meta/lineage guards fire first
+    mx = lin.agg(F.max("partition_id").alias("m")).collect()[0].m
+    if mx is not None and int(mx) >= int(meta["num_parts"]):
+        raise NotImplementedError(
+            f"{op} requires a table without appended partitions: "
+            f"lineage holds partition id {int(mx)} >= the stored "
+            f"plan's num_parts {int(meta['num_parts'])}, and appended "
+            "rows were planned from their own stats, so the stored "
+            "url->partition function cannot locate them. Compact and "
+            "re-encode first (or apply corrections before appending).")
+
+
 def _replan_with_stored(spark: SparkSession, df: DataFrame, out_dir: str,
                         cfg: EngineConfig) -> tuple[DataFrame, dict]:
     """Replan `df` with the PERSISTED salt map + scheme parameters so
@@ -1088,6 +1113,7 @@ def reencode_late(spark: SparkSession, full_df: DataFrame,
 
     from skar_spark.engine.compact import assert_not_compacted
     assert_not_compacted(out_dir, "late-data rollback")
+    _assert_no_appended_parts(spark, out_dir, "reencode_late")
     planned_late, meta = _replan_with_stored(spark, late_df, out_dir, cfg)
     if meta["scheme"] == "day_hash":
         n_before = planned_late.filter(F.col("part_id") < 0).count()
@@ -1237,6 +1263,7 @@ def merge_updates(spark: SparkSession, updates_df: DataFrame,
             "merge_updates requires the hash partition scheme; on a "
             "day_hash table use reencode_late with the corrected "
             "full dataset")
+    _assert_no_appended_parts(spark, out_dir, "merge_updates")
     planned_upd, _meta = _replan_with_stored(spark, updates_df, out_dir,
                                              cfg)
     affected = [r.part_id for r in
@@ -1275,6 +1302,7 @@ def delete_rows(spark: SparkSession, urls_df: DataFrame, out_dir: str,
             "delete_rows requires the hash partition scheme (day_hash "
             "partition membership depends on warc_ts, which a url set "
             "does not carry)")
+    _assert_no_appended_parts(spark, out_dir, "delete_rows")
     planned_del, _meta = _replan_with_stored(
         spark, urls_df.select("url"), out_dir, cfg)
     affected = [r.part_id for r in

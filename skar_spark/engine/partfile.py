@@ -319,14 +319,28 @@ def read_part_file(path: str, columns: list[str] | None = None,
                     continue
                 off, ln, _codec = rg["chunks"][c]
                 f.seek(off)
-                arrays.append(decode_array(f.read(ln)))
+                arr = decode_array(f.read(ln))
+                want = (fill_missing or {}).get(c)
+                if want is not None and \
+                        footer["schema"].get(c) not in (None, want):
+                    # type-widening schema evolution (ADVICE r05,
+                    # medium): this part stored the column at its
+                    # pre-widening type — cast to the merged type so
+                    # every reader sees the table schema uniformly
+                    # (pa.compute.cast is lossless for the promotions
+                    # merge_schema permits: i32→i64, f32→f64)
+                    arr = arr.cast(type_from_code(want))
+                arrays.append(arr)
                 names.append(c)
             tables.append(pa.table(dict(zip(names, arrays))))
     if not tables:
         def _code(c):
-            if c in footer["schema"]:
-                return footer["schema"][c]
-            return (fill_missing or {})[c]
+            # prefer the caller's merged-schema type (fill_missing) so
+            # widened columns come back widened even from an all-pruned
+            # part; fall back to the stored footer type
+            if fill_missing and c in fill_missing:
+                return fill_missing[c]
+            return footer["schema"][c]
         schema = pa.schema([(c, type_from_code(_code(c))) for c in cols])
         return pa.table({c: pa.array([], schema.field(c).type) for c in cols})
     t = pa.concat_tables(tables)
