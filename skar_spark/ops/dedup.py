@@ -325,9 +325,11 @@ def q_ngram_jaccard(spark, sf):
     banded = _banded(sig, rows).localCheckpoint(eager=True)
     l = banded.select(F.col("doc_id").alias("a"), "bpos", "bkey")
     r = banded.select(F.col("doc_id").alias("b"), "bpos", "bkey")
-    # cand feeds both text attaches — checkpoint the tiny pair list too
+    # cand flows into exactly one downstream chain (attach texts →
+    # count kernel), so no checkpoint: an eager barrier here measured
+    # ~0.5 s of pure serial latency with no recompute to save
     cand = (l.join(r, ["bpos", "bkey"]).filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct().localCheckpoint(eager=True))
+            .select("a", "b").distinct())
     # exact char-4-gram Jaccard verification on candidates only: attach
     # the two raw texts (smaller than materialized gram arrays) and
     # compute the three set sizes in one Arrow-batched kernel; the
@@ -912,14 +914,14 @@ def q_ann_lsh(spark, sf):
     capped_lazy = (bucketed.withColumn("rn", F.row_number().over(w))
                    .filter(F.col("rn") <= _ANN_BUCKET_CAP).drop("rn"))
     if n < _ANN_STAGE_MIN_ROWS and not os.environ.get("SKAR_ANN_STAGE"):
-        # small base: materialize the capped table executor-side
-        # (localCheckpoint) instead of the parquet staging round-trip —
-        # the self-join's two sides otherwise re-run the bucketing
-        # kernel (Python mapInArrow) twice (r6: the lazy double-compute
-        # cost grows with n; checkpoint wins from ~10k rows up and ties
-        # below). Parquet staging remains the cross-executor answer for
-        # big bases / multi-node roots.
-        capped = capped_lazy.localCheckpoint(eager=True)
+        # small base: the double-compute of the lazy self-join is
+        # cheaper than any materialization (re-measured r6 at sf1.0:
+        # lazy ~2.9 s vs localCheckpoint ~3.6 s and staged ~5 s — the
+        # double-computed kernel runs inside ONE job that fills idle
+        # cores, while a checkpoint is a serial barrier before the
+        # join) — staging pays off when the bucketing kernel's cost
+        # dominates the extra round-trip
+        capped = capped_lazy
     else:
         # staging root must be storage every executor AND the driver
         # can reach: local /tmp is only valid on local[..] or a
