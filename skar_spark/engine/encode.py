@@ -1042,7 +1042,7 @@ def encode_documents(spark: SparkSession, df: DataFrame, out_dir: str,
 
 
 def _assert_no_appended_parts(spark: SparkSession, out_dir: str,
-                              op: str) -> None:
+                              op: str, meta: dict | None = None) -> None:
     """Refuse row-level ops that locate partitions via the ORIGINAL
     stored plan when the table has appended partitions (ADVICE r05,
     high): append_documents plans its increment from its own stats
@@ -1050,8 +1050,10 @@ def _assert_no_appended_parts(spark: SparkSession, out_dir: str,
     cannot see rows living in appended parts — merge would leave stale
     versions alive there and delete would silently miss them. Appended
     partitions are exactly the lineage pids at or above the stored
-    plan's num_parts (appends start at max(pid)+1)."""
-    meta = load_plan_meta(out_dir)
+    plan's num_parts (appends start at max(pid)+1). `meta` lets callers
+    that already loaded the plan metadata skip the duplicate GET."""
+    if meta is None:
+        meta = load_plan_meta(out_dir)
     lin = read_lineage(spark, out_dir)
     if meta is None or lin is None:
         return  # the callers' own meta/lineage guards fire first
@@ -1263,7 +1265,7 @@ def merge_updates(spark: SparkSession, updates_df: DataFrame,
             "merge_updates requires the hash partition scheme; on a "
             "day_hash table use reencode_late with the corrected "
             "full dataset")
-    _assert_no_appended_parts(spark, out_dir, "merge_updates")
+    _assert_no_appended_parts(spark, out_dir, "merge_updates", meta)
     planned_upd, _meta = _replan_with_stored(spark, updates_df, out_dir,
                                              cfg)
     affected = [r.part_id for r in
@@ -1302,7 +1304,7 @@ def delete_rows(spark: SparkSession, urls_df: DataFrame, out_dir: str,
             "delete_rows requires the hash partition scheme (day_hash "
             "partition membership depends on warc_ts, which a url set "
             "does not carry)")
-    _assert_no_appended_parts(spark, out_dir, "delete_rows")
+    _assert_no_appended_parts(spark, out_dir, "delete_rows", meta)
     planned_del, _meta = _replan_with_stored(
         spark, urls_df.select("url"), out_dir, cfg)
     affected = [r.part_id for r in

@@ -86,10 +86,12 @@ def _toks(col="text"):
 _SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
 
 
-def _n_tokens(col="text"):
-    """0 for blank text (split('') yields [''] in both engines)."""
+def _n_tokens(col="text", toks=None):
+    """0 for blank text (split('') yields [''] in both engines).
+    Pass `toks` to count a pre-staged token column instead of
+    re-splitting (single definition of the blank-text rule)."""
     return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)) \
-            .otherwise(F.size(_toks(col)))
+            .otherwise(F.size(toks if toks is not None else _toks(col)))
 
 
 _SQL_N_TOKENS = (r"CASE WHEN length(trim(text)) = 0 THEN 0 "
@@ -185,15 +187,25 @@ def q_seq_pack(spark, sf):
           .rowsBetween(Window.unboundedPreceding, -1))
     local = F.coalesce(F.sum("n_tokens").over(wl), F.lit(0)).cast("long")
     cumed = t.withColumn("_local", local)
-    sub = t.groupBy("lang", "_b").agg(
-        F.sum("n_tokens").cast("long").alias("_bt"))
+    # bucket totals DERIVED from the windowed result (one scan, the
+    # window's exchange reused): _local + n_tokens is nondecreasing in
+    # doc_id within a bucket (n_tokens ≥ 0), so its max == the last
+    # row's running total == the bucket's token sum
+    sub = cumed.groupBy("lang", "_b").agg(
+        F.max(F.col("_local") + F.col("n_tokens")).cast("long")
+        .alias("_bt"))
     wo = (Window.partitionBy("lang").orderBy("_b")
           .rowsBetween(Window.unboundedPreceding, -1))
-    off = sub.select(
+    off = (sub.select(
         "lang", "_b",
         F.coalesce(F.sum("_bt").over(wo), F.lit(0)).cast("long")
         .alias("_off"))
-    out = (cumed.join(off, ["lang", "_b"])
+        .withColumnsRenamed({"lang": "_olang", "_b": "_ob"}))
+    # null-SAFE attach: a NULL lang is a real stratum to the window
+    # formulation (and the DuckDB oracle) — a null-unsafe equi-join
+    # would silently drop its rows
+    out = (cumed.join(off, F.col("lang").eqNullSafe(F.col("_olang"))
+                      & (F.col("_b") == F.col("_ob")))
            .withColumn("cum_before", F.col("_off") + F.col("_local")))
     return out.select(
         "doc_id", "lang", "n_tokens",
@@ -245,9 +257,7 @@ def q_rep_stats(spark, sf):
     s2 = s1.select("doc_id", "text", "_t",
                    _ngrams(F.col("_t"), 2).alias("_g2"))
     toks = F.col("_t")
-    # n over the staged column (not _n_tokens(), which re-splits text)
-    n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
-         .otherwise(F.size(toks))
+    n = _n_tokens(toks=toks)  # blank rule shared, staged column counted
     nd = F.when(n == 0, F.lit(0)) \
           .otherwise(F.size(F.array_distinct(toks)))
     g2 = F.col("_g2")

@@ -478,8 +478,13 @@ def q_dedup_clusters(spark, sf, _stats: dict | None = None):
             and not os.environ.get("SKAR_CC_DISTRIBUTED")):
         if _stats is not None:
             _stats["mode"] = "driver"
+        # Arrow collect: two flat int64 columns instead of py4j Row
+        # objects — near the 2M-edge bound that is ~32 MB vs hundreds
+        # of MB of pickled Rows
+        pdf = pairs.toPandas()
         lbl = _driver_components(
-            (r.a, r.b) for r in pairs.collect())
+            zip(pdf["a"].to_numpy().tolist(),
+                pdf["b"].to_numpy().tolist()))
         ldf = spark.createDataFrame(
             list(lbl.items()) or [], "doc_id long, lbl long")
         return (docs.join(F.broadcast(ldf), "doc_id", "left")
@@ -681,31 +686,51 @@ def q_cosine_topk_blocked(spark, sf):
                 .astype(np.float64)
             B = flat.reshape(len(b), -1)
             bn = np.sqrt((B * B).sum(axis=1))
-            # zero-norm guard (ADVICE r05): DuckDB's x/0 is NULL and
-            # sorts LAST under DESC; numpy's is NaN which np.lexsort
-            # would rank FIRST — mask zero-norm rows/queries out of the
-            # candidate set entirely (same rule as _rank_probe)
+            # zero-norm rule (ADVICE r05, oracle-exact since r6):
+            # DuckDB's x/0 is NULL, which sorts LAST under DESC — so a
+            # zero-norm pair is a real candidate with NULL cos that can
+            # only enter the top-k when fewer than k nonzero-norm
+            # candidates exist. numpy's x/0 is NaN (which lexsort would
+            # rank FIRST), so zero-norm rows are scored separately:
+            # local top-k = nonzero top-k, then null-cos fillers by
+            # vec_id asc — exactly the order (cos DESC NULLS LAST,
+            # vec_id ASC) the final Spark window applies globally.
             bvalid = bn != 0.0
             bs = np.where(bvalid, bn, 1.0)
             qs = np.where(qn != 0.0, qn, 1.0)
             cos = (B @ Q.T) / np.outer(bs, qs)        # (n_b, q) BLAS
             cos = np.round(cos, 4)
             for j in range(len(qids)):  # metadata-scale: q queries, not rows
-                if qn[j] == 0.0:
-                    continue                           # NULL cos for all
                 c = cos[:, j]
-                mask = (vid != qids[j]) & bvalid       # exclude self+zero
-                idx = np.flatnonzero(mask)
-                if idx.size == 0:
+                notself = vid != qids[j]
+                if qn[j] == 0.0:        # every pair has NULL cos
+                    nz_idx = np.empty(0, np.int64)
+                    null_idx = np.flatnonzero(notself)
+                else:
+                    nz_idx = np.flatnonzero(notself & bvalid)
+                    null_idx = np.flatnonzero(notself & ~bvalid)
+                vids: list = []
+                scores: list = []
+                if nz_idx.size:
+                    k = min(_TOPK, nz_idx.size)
+                    # local top-k: score desc, vec_id asc (lexsort keys
+                    # reversed: primary last)
+                    order = nz_idx[np.lexsort(
+                        (vid[nz_idx], -c[nz_idx]))][:k]
+                    vids = [int(v) for v in vid[order]]
+                    scores = [float(s) for s in c[order]]
+                fill = _TOPK - len(vids)
+                if fill > 0 and null_idx.size:
+                    for v in np.sort(vid[null_idx])[:fill]:
+                        vids.append(int(v))
+                        scores.append(None)
+                if not vids:
                     continue
-                k = min(_TOPK, idx.size)
-                # local top-k: score desc, vec_id asc (lexsort keys
-                # reversed: primary last)
-                order = idx[np.lexsort((vid[idx], -c[idx]))][:k]
                 yield pa.record_batch({
-                    "qid": pa.array(np.full(k, qids[j]), pa.int64()),
-                    "vec_id": pa.array(vid[order], pa.int64()),
-                    "cos": pa.array(c[order], pa.float64()),
+                    "qid": pa.array([int(qids[j])] * len(vids),
+                                    pa.int64()),
+                    "vec_id": pa.array(vids, pa.int64()),
+                    "cos": pa.array(scores, pa.float64()),
                 })
 
     cand = e.select("vec_id", "embedding").mapInArrow(

@@ -115,3 +115,50 @@ def test_compact_lineage_has_no_schema_json(spark, tmp_path):
     assert res["new_parts"] >= 1
     lin = read_lineage(spark, out)
     assert "schema_json" not in lin.columns
+
+
+def test_cosine_blocked_zero_norm_matches_oracle(spark, tmp_path):
+    """ADVICE r05 #4, oracle-exact since r6: zero-norm vectors score as
+    NULL cos ranked LAST (DuckDB x/0 = NULL; DESC NULLS LAST) — they
+    enter the top-k only when fewer than k nonzero candidates exist.
+    Build a 12-vector base with 5 zero vectors so every query has just
+    6 nonzero non-self candidates and the null fillers are exercised,
+    then hash-compare against the shared SQL_COSINE_TOPK oracle."""
+    import math
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from skar_spark.ops.dedup import _DIM, q_cosine_topk_blocked
+
+    rng = np.random.RandomState(7)
+    vecs = [rng.randn(_DIM).astype(np.float32) for _ in range(7)] + \
+        [np.zeros(_DIM, np.float32) for _ in range(5)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), str(tmp_path / "embeddings.parquet"))
+
+    got = {(r.qid, r.rk, r.vec_id,
+            None if r.cos is None else round(r.cos, 4))
+           for r in q_cosine_topk_blocked(spark, str(tmp_path)).collect()}
+
+    from skar_spark.ops.dedup import SQL_COSINE_TOPK
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    want = set()
+    for qid, rk, vec_id, cos in con.execute(SQL_COSINE_TOPK).fetchall():
+        want.add((qid, rk, vec_id,
+                  None if cos is None or math.isnan(cos)
+                  else round(cos, 4)))
+    assert got == want
+    # null-cos rows exist and always rank after every nonzero row
+    nulls = {r for r in got if r[3] is None}
+    assert nulls
+    for qid, rk, _v, _c in nulls:
+        assert all(r[1] < rk for r in got
+                   if r[0] == qid and r[3] is not None)
