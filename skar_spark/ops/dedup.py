@@ -340,8 +340,14 @@ def q_ngram_jaccard(spark, sf):
     pairs = cand.join(ta, "a").join(tb, "b").select("a", "b", "_ta", "_tb")
     # the CPU-bound verify kernel needs cluster-wide parallelism: AQE
     # coalesces the tiny-bytes join output to ~1 partition, which would
-    # serialize the per-pair set intersections onto one core
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism)
+    # serialize the per-pair set intersections onto one core. Width =
+    # max(cores, session shuffle partitions): at bench scale that is
+    # the core count; a production run sizes shuffle.partitions to its
+    # candidate volume and the kernel inherits it (candidates are O(n),
+    # so a fixed-core width would overload partitions at 100×)
+    pairs = pairs.repartition(max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions"))))
     counts = pairs.mapInArrow(
         _jaccard_counts_kernel,
         "a long, b long, inter int, na int, nb int")
