@@ -1206,10 +1206,6 @@ def ivf_quantizer(spark, sf):
     n, k, m, C (k×64 float64, cid-ascending), cids, cnorm, and — only
     when k > _IVF_MAX_LISTS — coarse = (C1, c1norm, cells) where
     `cells[j]` is the coarse cell of fine centroid j."""
-    import math
-
-    import numpy as np
-
     n, k, m = _ivf_params(sf, spark)
     e = load(spark, sf, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -1217,6 +1213,18 @@ def ivf_quantizer(spark, sf):
     cents = (base.filter(F.pmod(F.col("vec_id"), F.lit(m)) == 0)
              .orderBy("vec_id").limit(k))
     crows = cents.collect()
+    return _quantizer_from_rows(crows, n, k, m, base)
+
+
+def _quantizer_from_rows(crows, n, k, m, base):
+    """Quantizer dict from the collected centroid rows (vec_id-ascending,
+    ≤ k rows — exactly `orderBy(vec_id).limit(k)` over the stride-m
+    multiples). Split from ivf_quantizer so q_ann_ivfpq can share ONE
+    scan between the IVF centroids and the PQ codebook."""
+    import math
+
+    import numpy as np
+
     C = np.array([r.v for r in crows], np.float64)          # (k, 64)
     cids = np.array([r.vec_id for r in crows], np.int64)
     cnorm = _fold_norms(C)
@@ -1687,6 +1695,34 @@ WHERE rk <= {_PQ_TOPK}
 
 # --- IVF-PQ: inverted lists + product-quantized codes ------------------------
 
+def _ivfpq_seeds(spark, sf):
+    """(quant, base, CB) with ONE scan job instead of two: the IVF
+    centroids (stride m, first k by vec_id) and the PQ codebook rows
+    (stride n//_PQ_K, first _PQ_K by vec_id) are both strided subsamples
+    of the same base table, but ivf_quantizer + pq_codebook each paid a
+    full-scan driver collect (~1.2 s + ~0.3 s warm at sf0.1 — guide
+    §2.1: fewer passes over the data). The union filter collects
+    ~k + _PQ_K rows; the driver-side vec_id sort + per-stride slice
+    reproduces each `orderBy(vec_id).limit(...)` exactly."""
+    import numpy as np
+
+    n, k, m = _ivf_params(sf, spark)
+    stride = max(1, n // _PQ_K)
+    e = load(spark, sf, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", dbl.alias("v"))
+    vid = F.col("vec_id")
+    rows = (base.filter((F.pmod(vid, F.lit(m)) == 0)
+                        | (F.pmod(vid, F.lit(stride)) == 0))
+            .collect())
+    rows.sort(key=lambda r: r.vec_id)
+    crows = [r for r in rows if r.vec_id % m == 0][:k]
+    cbrows = [r for r in rows if r.vec_id % stride == 0][:_PQ_K]
+    quant = _quantizer_from_rows(crows, n, k, m, base)
+    CB = np.array([r.v for r in cbrows], np.float64)
+    return quant, base, CB
+
+
 def q_ann_ivfpq(spark, sf):
     """IVF-PQ ANN — the canonical 100 TB vector-search layout (FAISS
     IVFPQ): the IVF coarse quantizer bounds each query to _IVF_NPROBE
@@ -1703,9 +1739,8 @@ def q_ann_ivfpq(spark, sf):
     has no vector ops); this composes the ann_ivf and ann_pq lanes."""
     from pyspark.sql import Window
 
-    quant, assigned = ivf_assign(spark, sf)
-    base = quant["base"]
-    _b, CB = pq_codebook(spark, sf)
+    quant, base, CB = _ivfpq_seeds(spark, sf)
+    quant, assigned = ivf_assign(spark, sf, quant)
     codes = pq_encode(spark, sf, assigned, CB)   # (vec_id, cid, codes)
     d = _DIM // _PQ_M
     cb = spark.createDataFrame(

@@ -136,3 +136,21 @@ def test_pq_encode_passes_through_partition_columns(spark, planted_dups):
     assert set(codes.columns) == {"vec_id", "cid", "codes"}
     rows = codes.select("vec_id", "cid", "codes").limit(5).collect()
     assert all(len(r.codes) == _PQ_M for r in rows)
+
+
+def test_ivfpq_seeds_match_separate_collects(spark):
+    """_ivfpq_seeds (one fused scan, r6) must reproduce the IVF
+    quantizer and PQ codebook of the separate ivf_quantizer +
+    pq_codebook jobs bit-for-bit at both test scales."""
+    from skar_spark.ops.dedup import _ivfpq_seeds, ivf_quantizer
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        q1 = ivf_quantizer(spark, sf)
+        _base, cb1 = pq_codebook(spark, sf)
+        q2, _base2, cb2 = _ivfpq_seeds(spark, sf)
+        assert np.array_equal(q1["C"], q2["C"])
+        assert np.array_equal(q1["cids"], q2["cids"])
+        assert np.array_equal(q1["cnorm"], q2["cnorm"])
+        assert (q1["n"], q1["k"], q1["m"]) == (q2["n"], q2["k"], q2["m"])
+        assert (q1["coarse"] is None) == (q2["coarse"] is None)
+        assert np.array_equal(cb1, cb2)
